@@ -1,0 +1,167 @@
+"""PyTorch state_dict -> flax params converter.
+
+Converts checkpoints saved by the reference framework (torch tensors, NCHW,
+[out,in] linear weights) into this framework's channel-last flax pytrees, so
+released REFUGE/BraTS weights reach Dice parity on TPU. Works from plain
+numpy arrays -- torch is only needed by the CLI wrapper that reads ``.pth``.
+
+Name translation is rule-based:
+  * ``a.b.{i}.c``  ->  list-modules become ``a/b_{i}/c`` flax scopes
+    (reference uses nn.ModuleList, we use indexed names),
+  * Linear ``weight [out,in]``       -> ``kernel [in,out]``,
+  * Conv2d/3d ``weight [O,I,*k]``    -> ``kernel [*k,I,O]``,
+  * grouped Conv1d ``weight [M*F,F,1]`` (the reference's per-mode "group
+    linear", segtran_shared.py:208,261) -> ``kernel [M,F,F]`` einsum weights,
+  * LayerNorm/GroupNorm/BatchNorm ``weight/bias`` -> ``scale/bias``; BN
+    running stats -> the ``batch_stats`` collection,
+  * ``key.*`` dropped when Q/K are shared (the reference stores the tied
+    tensor twice; we keep one parameter).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _set_path(tree: Dict[str, Any], path: Tuple[str, ...], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _translate_module_path(torch_key: str) -> Tuple[str, ...]:
+    """'translayers.0.in_ator_trans.query.weight' ->
+    ('translayers_0', 'in_ator_trans', 'query', 'weight')."""
+    parts = torch_key.split(".")
+    out = []
+    i = 0
+    while i < len(parts):
+        if i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(f"{parts[i]}_{parts[i+1]}")
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return tuple(out)
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray],
+                       tie_qk_shared: bool = True,
+                       norm_class_of: Dict[str, str] | None = None,
+                       ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a torch state_dict (str -> np.ndarray) to (params, batch_stats).
+
+    norm_class_of: optional map from torch module path (without '.weight') to
+    'bn' for BatchNorm modules whose running stats exist. BN is auto-detected
+    from the presence of ``<path>.running_mean``.
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if not k.endswith("num_batches_tracked")}
+
+    bn_paths = {k[:-len(".running_mean")] for k in sd if k.endswith(".running_mean")}
+
+    for key, w in sd.items():
+        path = _translate_module_path(key)
+        mod_path_torch = key.rsplit(".", 1)[0]
+        leaf = path[-1]
+        mod_path = path[:-1]
+        is_bn = mod_path_torch in bn_paths or (
+            norm_class_of or {}).get(mod_path_torch) == "bn"
+
+        if tie_qk_shared and len(mod_path) >= 1 and mod_path[-1] == "key":
+            # Q/K tied: the flax model has a single shared 'query' parameter.
+            continue
+
+        if leaf == "running_mean":
+            _set_path(batch_stats, mod_path + ("mean",), w)
+            continue
+        if leaf == "running_var":
+            _set_path(batch_stats, mod_path + ("var",), w)
+            continue
+
+        if leaf == "weight":
+            if w.ndim == 1:
+                # norm scale (LN / GN / BN)
+                _set_path(params, mod_path + ("scale",), w)
+            elif w.ndim == 2:
+                # Linear [out, in] -> [in, out]
+                _set_path(params, mod_path + ("kernel",), w.T)
+            elif w.ndim == 3:
+                if w.shape[-1] == 1 and w.shape[0] % w.shape[1] == 0 \
+                        and w.shape[0] != w.shape[1]:
+                    # grouped 1x1 Conv1d [M*F, F, 1] -> per-mode [M, F, F]
+                    # kernel[m, f, g] = w[m*F+g, f, 0]
+                    mf, f, _ = w.shape
+                    m = mf // f
+                    _set_path(params, mod_path + ("kernel",),
+                              w[:, :, 0].reshape(m, f, f).transpose(0, 2, 1))
+                elif w.shape[-1] == 1 and w.shape[0] == w.shape[1]:
+                    # 1-mode group linear (or plain conv1d k=1): [F, F, 1]
+                    _set_path(params, mod_path + ("kernel",),
+                              w[:, :, 0].reshape(1, w.shape[0], w.shape[1])
+                              .transpose(0, 2, 1))
+                else:
+                    # general Conv1d [O, I, k] -> [k, I, O]
+                    _set_path(params, mod_path + ("kernel",),
+                              w.transpose(2, 1, 0))
+            elif w.ndim == 4:
+                # Conv2d [O, I, kh, kw] -> [kh, kw, I, O]
+                _set_path(params, mod_path + ("kernel",), w.transpose(2, 3, 1, 0))
+            elif w.ndim == 5:
+                # Conv3d [O, I, kd, kh, kw] -> [kd, kh, kw, I, O]
+                _set_path(params, mod_path + ("kernel",),
+                          w.transpose(2, 3, 4, 1, 0))
+            else:
+                raise ValueError(f"unhandled weight rank for {key}: {w.shape}")
+            continue
+
+        if leaf == "bias":
+            if w.ndim == 1 and mod_path and mod_path[-1] in (
+                    "group_linear",):
+                # grouped conv1d bias [M*F] -> [M, F]; F from matching kernel
+                kernel_key = key.rsplit(".", 1)[0] + ".weight"
+                f = sd[kernel_key].shape[1]
+                _set_path(params, mod_path + ("bias",), w.reshape(-1, f))
+            else:
+                _set_path(params, mod_path + ("bias",), w)
+            continue
+
+        # raw parameters (attractors, biases of SlidingPosBiases, vfeat_bias,
+        # input_skip_coeff): keep as-is under the translated path
+        _set_path(params, path, w)
+
+    return params, batch_stats
+
+
+def assign_converted(target_params: Dict[str, Any],
+                     converted: Dict[str, Any],
+                     strict: bool = True,
+                     _path: str = "") -> Dict[str, Any]:
+    """Graft converted leaves onto an init-built params tree (validates shapes,
+    keeps any leaves the checkpoint does not provide)."""
+    out = {}
+    for k, v in target_params.items():
+        p = f"{_path}/{k}"
+        if isinstance(v, dict):
+            sub = converted.get(k, {})
+            if not isinstance(sub, dict):
+                raise ValueError(f"expected subtree at {p}")
+            out[k] = assign_converted(v, sub, strict=strict, _path=p)
+        else:
+            if k in converted:
+                cv = np.asarray(converted[k])
+                if cv.shape != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {p}: checkpoint {cv.shape} vs "
+                        f"model {tuple(v.shape)}")
+                out[k] = cv.astype(np.asarray(v).dtype)
+            elif strict:
+                raise KeyError(f"checkpoint missing parameter {p}")
+            else:
+                out[k] = v
+    return out

@@ -1,0 +1,426 @@
+"""The Squeeze-and-Expansion transformer core.
+
+Parity targets in the reference:
+  * CrossAttFeatTrans (multi-mode QK attention)   -> segtran_shared.py:478-610
+  * ExpandedFeatTrans ("expansion" V/FFN block)   -> segtran_shared.py:329-476
+  * MM{Private,Shared}{Mid,Output} FFN pieces     -> segtran_shared.py:200-308
+  * LearnedSoftAggregate (mode pooling)           -> segtran_shared.py:311-325
+  * SqueezedAttFeatTrans (attractor squeeze)      -> segtran_shared.py:787-816
+  * MultiHeadFeatTrans ablation                   -> segtran_ablation.py
+
+Numerics replicated exactly so released reference checkpoints reach Dice parity
+after weight conversion:
+  * scores scaled by 1/sqrt(in_feat_dim / num_modes),
+  * clamping to +-attn_clip applied ONLY when the global max exceeds the clip
+    (segtran_shared.py:575-580: min-side outliers are untouched otherwise),
+  * LayerNorm eps = 1e-12,
+  * exact (erf) GELU, not the tanh approximation,
+  * MMPrivateOutput drops its residual (segtran_shared.py:266-275 computes
+    x_comb but normalizes x) -- reproduced under
+    ``fix_private_output_residual=False`` (the default).
+
+TPU-first notes: everything is channels-last einsum/matmul, shapes are static,
+and the squeezed layer's two cross-attentions (N x A and A x N, A=attractors)
+are plain batched matmuls that tile directly onto the MXU. A fused Pallas
+kernel for the squeezed attention lives in ``segtran_tpu.kernels``; these
+modules are the reference XLA path and the numerics oracle for it.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_normal = nn.initializers.normal
+
+
+def _gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _clamp_if_exceeds(scores: jnp.ndarray, clip: float) -> jnp.ndarray:
+    """Reference semantics (segtran_shared.py:575-580): clamp to [-clip, clip]
+    only when the *global max* exceeds clip; otherwise pass through (even if the
+    min is below -clip)."""
+    max_attn = jnp.max(scores)
+    return jnp.where(max_attn > clip, jnp.clip(scores, -clip, clip), scores)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransLayerSpec:
+    """Per-layer hyperparameters of one attention + expansion block. A trimmed,
+    hashable view of TransformerConfig for use as a flax module field."""
+    in_feat_dim: int
+    feat_dim: int
+    num_modes: int = 4
+    qk_have_bias: bool = True
+    v_has_bias: bool = False
+    tie_qk_scheme: str = "shared"          # shared | loose | none
+    attn_clip: float = 500.0
+    has_FFN: bool = True
+    has_input_skip: bool = False
+    mid_type: str = "shared"               # shared | private | none
+    trans_output_type: str = "private"     # shared | private
+    pool_modes_feat: str = "softmax"       # softmax | max | mean | none
+    attention_probs_dropout_prob: float = 0.1
+    hidden_dropout_prob: float = 0.1
+    base_initializer_range: float = 0.02
+    query_idbias_scale: float = 10.0
+    feattrans_lin1_idbias_scale: float = 10.0
+    pos_code_weight: float = 1.0           # only used for 'bias' pos codes
+    ablate_multihead: bool = False
+    fix_private_output_residual: bool = False
+    ln_eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    @property
+    def attention_mode_dim(self) -> int:
+        return self.in_feat_dim // self.num_modes
+
+    @property
+    def att_size_allmode(self) -> int:
+        return self.num_modes * self.attention_mode_dim
+
+
+class LearnedSoftAggregate(nn.Module):
+    """Learned softmax pooling over a group axis (reference
+    segtran_shared.py:311-325)."""
+    num_feat: int
+    group_dim: int
+    keepdim: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 score_basis: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if score_basis is None:
+            score_basis = x
+        scores = nn.Dense(1, name="feat2score", kernel_init=_normal(0.02),
+                          bias_init=nn.initializers.zeros,
+                          dtype=self.dtype)(score_basis)
+        probs = jax.nn.softmax(scores, axis=self.group_dim)
+        return jnp.sum(x * probs, axis=self.group_dim, keepdims=self.keepdim)
+
+
+class MMPrivateLinear(nn.Module):
+    """Per-mode private linear, the TPU-native equivalent of the reference's
+    grouped 1x1 Conv1d (segtran_shared.py:200-218, 255-275). One einsum over a
+    [M, F, F] kernel instead of a grouped convolution."""
+    num_modes: int
+    feat_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, M, U, F] -> [B, M, U, F]
+        kernel = self.param("kernel", _normal(0.02),
+                            (self.num_modes, self.feat_dim, self.feat_dim))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.num_modes, self.feat_dim))
+        y = jnp.einsum("bmuf,mfg->bmug", x, kernel.astype(self.dtype),
+                       preferred_element_type=self.dtype)
+        return y + bias.astype(self.dtype)[None, :, None, :]
+
+
+class MMSharedMid(nn.Module):
+    """Shared FFN middle: Linear(F->F) + GELU + dropout
+    (reference segtran_shared.py:220-251)."""
+    num_modes: int
+    feat_dim: int
+    hidden_dropout_prob: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = nn.Dense(self.feat_dim, name="shared_linear",
+                     kernel_init=_normal(0.02),
+                     bias_init=nn.initializers.zeros, dtype=self.dtype)(x)
+        y = _gelu_exact(y)
+        return nn.Dropout(self.hidden_dropout_prob)(y, deterministic=deterministic)
+
+
+class MMPrivateMid(nn.Module):
+    """Private (per-mode) FFN middle (reference segtran_shared.py:200-218)."""
+    num_modes: int
+    feat_dim: int
+    hidden_dropout_prob: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        y = MMPrivateLinear(self.num_modes, self.feat_dim, dtype=self.dtype,
+                            name="group_linear")(x)
+        y = _gelu_exact(y)
+        return nn.Dropout(self.hidden_dropout_prob)(y, deterministic=deterministic)
+
+
+class MMSharedOutput(nn.Module):
+    """Shared FFN output: Linear + residual + dropout + LayerNorm
+    (reference segtran_shared.py:279-308)."""
+    num_modes: int
+    feat_dim: int
+    hidden_dropout_prob: float = 0.1
+    ln_eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shortcut: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        y = nn.Dense(self.feat_dim, name="shared_linear",
+                     kernel_init=_normal(0.02),
+                     bias_init=nn.initializers.zeros, dtype=self.dtype)(x)
+        y = y + shortcut
+        y = nn.Dropout(self.hidden_dropout_prob)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                            name="resout_norm_layer")(y)
+
+
+class MMPrivateOutput(nn.Module):
+    """Private FFN output (reference segtran_shared.py:255-275).
+
+    NOTE: the reference computes ``x_comb = x + shortcut`` but then reshapes
+    and normalizes ``x`` -- the residual is dropped on the private path. The
+    default (fix_residual=False) reproduces that exactly; set fix_residual=True
+    for the corrected block when training new models.
+    """
+    num_modes: int
+    feat_dim: int
+    hidden_dropout_prob: float = 0.1
+    fix_residual: bool = False
+    ln_eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, shortcut: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        y = MMPrivateLinear(self.num_modes, self.feat_dim, dtype=self.dtype,
+                            name="group_linear")(x)
+        if self.fix_residual:
+            y = y + shortcut
+        y = nn.Dropout(self.hidden_dropout_prob)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                            name="resout_norm_layer")(y)
+
+
+class ExpandedFeatTrans(nn.Module):
+    """The "expansion" block: private multi-mode V projection, attention-fused
+    values, optional FFN, then mode pooling (reference segtran_shared.py:329-476).
+    """
+    spec: TransLayerSpec
+
+    def setup(self):
+        s = self.spec
+        self.first_linear = nn.Dense(
+            s.feat_dim * s.num_modes, use_bias=s.v_has_bias,
+            kernel_init=_normal(s.base_initializer_range),
+            bias_init=nn.initializers.zeros, dtype=s.dtype, name="first_linear")
+        # Used only on the no-FFN path (segtran_shared.py:452-457).
+        self.first_norm_layer = nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
+                                             name="first_norm_layer")
+        if s.pool_modes_feat == "softmax":
+            self.feat_softaggr = LearnedSoftAggregate(
+                s.feat_dim, group_dim=1, keepdim=False, dtype=s.dtype,
+                name="feat_softaggr")
+        if s.has_input_skip:
+            self.input_skip_coeff = self.param(
+                "input_skip_coeff", nn.initializers.ones, (1,))
+        if s.has_FFN:
+            if s.mid_type == "shared":
+                self.intermediate = MMSharedMid(
+                    s.num_modes, s.feat_dim, s.hidden_dropout_prob,
+                    dtype=s.dtype, name="intermediate")
+            elif s.mid_type == "private":
+                self.intermediate = MMPrivateMid(
+                    s.num_modes, s.feat_dim, s.hidden_dropout_prob,
+                    dtype=s.dtype, name="intermediate")
+            else:
+                self.intermediate = None
+            if s.trans_output_type == "shared":
+                self.output = MMSharedOutput(
+                    s.num_modes, s.feat_dim, s.hidden_dropout_prob,
+                    ln_eps=s.ln_eps, dtype=s.dtype, name="output")
+            elif s.trans_output_type == "private":
+                self.output = MMPrivateOutput(
+                    s.num_modes, s.feat_dim, s.hidden_dropout_prob,
+                    fix_residual=s.fix_private_output_residual,
+                    ln_eps=s.ln_eps, dtype=s.dtype, name="output")
+
+    def __call__(self, input_feat: jnp.ndarray, attention_probs: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """input_feat: [B, U2, in_feat_dim]; attention_probs: [B, M, U1, U2].
+        Returns [B, U1, feat_dim] (or [B, M, U1, feat_dim] if pooling 'none')."""
+        s = self.spec
+        if self.is_initializing():
+            # Metadata for the post-init weight transforms (see nn/init.py).
+            self.sow("site_meta", "expansion", jnp.array(
+                [s.num_modes, s.in_feat_dim, s.feat_dim,
+                 s.feattrans_lin1_idbias_scale, s.base_initializer_range],
+                dtype=jnp.float32))
+        b, u2, _ = input_feat.shape
+        m, f = s.num_modes, s.feat_dim
+        # V projection expanded into M modes: [B, U2, M*F] -> [B, M, U2, F].
+        # The reference's channel grouping (view(B, M, F, U).transpose) assigns
+        # output channel m*F+f to (mode m, feature f); reshape(B,U2,M,F) +
+        # transpose reproduces it (last dim fastest).
+        v = self.first_linear(input_feat)
+        v = v.reshape(b, u2, m, f).transpose(0, 2, 1, 3)
+        # Fuse values with attention: [B,M,U1,U2] @ [B,M,U2,F] -> [B,M,U1,F].
+        fused = jnp.einsum("bmqk,bmkf->bmqf", attention_probs, v,
+                           preferred_element_type=s.dtype)
+
+        if not s.has_FFN:
+            # Aggregate-only path (segtran_shared.py:452-457); used by the
+            # squeeze-in attention and the Polyformer.
+            out = self.feat_softaggr(fused)
+            if s.has_input_skip:
+                out = out + self.input_skip_coeff.astype(s.dtype) * input_feat
+            return self.first_norm_layer(out)
+
+        mid = self.intermediate(fused, deterministic=deterministic) \
+            if self.intermediate is not None else _gelu_exact(fused)
+        last = self.output(mid, fused, deterministic=deterministic)
+
+        if s.pool_modes_feat == "softmax":
+            return self.feat_softaggr(last)
+        if s.pool_modes_feat == "max":
+            return jnp.max(last, axis=1)
+        if s.pool_modes_feat == "mean":
+            return jnp.mean(last, axis=1)
+        return last
+
+
+class CrossAttFeatTrans(nn.Module):
+    """One transformer layer: multi-mode QK cross-attention feeding an
+    ExpandedFeatTrans (reference segtran_shared.py:478-610)."""
+    spec: TransLayerSpec
+    keep_attn_scores: bool = False
+
+    @nn.compact
+    def __call__(self, in_query: jnp.ndarray,
+                 in_key: Optional[jnp.ndarray] = None,
+                 pos_biases: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        s = self.spec
+        if self.is_initializing():
+            tie_code = {"shared": 0, "loose": 1, "none": 2}[s.tie_qk_scheme]
+            self.sow("site_meta", "attention", jnp.array(
+                [s.num_modes, s.in_feat_dim, tie_code,
+                 s.query_idbias_scale, s.base_initializer_range],
+                dtype=jnp.float32))
+        if in_key is None:
+            in_key = in_query
+        b, u1, _ = in_query.shape
+        u2 = in_key.shape[1]
+        m, amd = s.num_modes, s.attention_mode_dim
+
+        query = nn.Dense(s.att_size_allmode, use_bias=s.qk_have_bias,
+                         kernel_init=_normal(s.base_initializer_range),
+                         bias_init=nn.initializers.zeros, dtype=s.dtype,
+                         name="query")
+        if s.tie_qk_scheme == "shared":
+            # Q and K share one parameter set: apply the same Dense twice
+            # (reference tie_qk 'shared', segtran_shared.py:528-531).
+            q = query(in_query)
+            k = query(in_key)
+        else:
+            key = nn.Dense(s.att_size_allmode, use_bias=s.qk_have_bias,
+                           kernel_init=_normal(s.base_initializer_range),
+                           bias_init=nn.initializers.zeros, dtype=s.dtype,
+                           name="key")
+            q = query(in_query)
+            k = key(in_key)
+
+        q = q.reshape(b, u1, m, amd).transpose(0, 2, 1, 3)  # [B,M,U1,amd]
+        k = k.reshape(b, u2, m, amd).transpose(0, 2, 1, 3)  # [B,M,U2,amd]
+        scores = jnp.einsum("bmqd,bmkd->bmqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(amd)
+        scores = _clamp_if_exceeds(scores, s.attn_clip)
+        if pos_biases is not None:
+            scores = scores + s.pos_code_weight * pos_biases
+        if self.keep_attn_scores:
+            self.sow("intermediates", "attention_scores", scores)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = probs.astype(s.dtype)
+        probs = nn.Dropout(s.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic)
+
+        if s.ablate_multihead:
+            out_trans = MultiHeadFeatTrans(s, name="out_trans")
+        else:
+            out_trans = ExpandedFeatTrans(s, name="out_trans")
+        return out_trans(in_key, probs, deterministic=deterministic)
+
+
+class MultiHeadFeatTrans(nn.Module):
+    """Ablation: standard multi-head output instead of the expansion block --
+    V projected to in_feat_dim split over heads, concatenated, then the shared
+    MM FFN (reference segtran_ablation.py MultiHeadFeatTrans)."""
+    spec: TransLayerSpec
+
+    @nn.compact
+    def __call__(self, input_feat: jnp.ndarray, attention_probs: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        s = self.spec
+        b, u2, _ = input_feat.shape
+        m = s.num_modes
+        head_dim = s.feat_dim // m
+        v = nn.Dense(s.feat_dim, use_bias=s.v_has_bias,
+                     kernel_init=_normal(s.base_initializer_range),
+                     bias_init=nn.initializers.zeros, dtype=s.dtype,
+                     name="first_linear")(input_feat)
+        v = v.reshape(b, u2, m, head_dim).transpose(0, 2, 1, 3)
+        fused = jnp.einsum("bmqk,bmkf->bmqf", attention_probs, v,
+                           preferred_element_type=s.dtype)
+        # Concat heads back: [B, M, U1, hd] -> [B, U1, M*hd = feat_dim]
+        u1 = fused.shape[2]
+        fused = fused.transpose(0, 2, 1, 3).reshape(b, u1, s.feat_dim)
+        mid = MMSharedMid(1, s.feat_dim, s.hidden_dropout_prob, dtype=s.dtype,
+                          name="intermediate")(fused, deterministic=deterministic)
+        out = MMSharedOutput(1, s.feat_dim, s.hidden_dropout_prob,
+                             ln_eps=s.ln_eps, dtype=s.dtype,
+                             name="output")(mid, fused,
+                                            deterministic=deterministic)
+        return out
+
+
+class SqueezedAttFeatTrans(nn.Module):
+    """Squeezed attention: N tokens <-> A learnable attractors, two
+    cross-attentions, O(N*A) (reference segtran_shared.py:787-816)."""
+    spec: TransLayerSpec
+    num_attractors: int = 256
+    has_FFN_in_squeeze: bool = False
+    keep_attn_scores: bool = False
+
+    @nn.compact
+    def __call__(self, in_feat: jnp.ndarray,
+                 pos_biases: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        s = self.spec
+        # in-squeeze: single-mode, no channel compression
+        # (reference segtran_shared.py:796-799).
+        in_spec = dataclasses.replace(
+            s, feat_dim=s.in_feat_dim, num_modes=1,
+            has_FFN=self.has_FFN_in_squeeze)
+        attractors = self.param(
+            "attractors", _normal(1.0),
+            (1, self.num_attractors, s.in_feat_dim))
+        b = in_feat.shape[0]
+        batch_attractors = jnp.broadcast_to(
+            attractors.astype(s.dtype),
+            (b, self.num_attractors, s.in_feat_dim))
+        new_attractors = CrossAttFeatTrans(
+            in_spec, name="in_ator_trans",
+            keep_attn_scores=self.keep_attn_scores)(
+                batch_attractors, in_feat, pos_biases,
+                deterministic=deterministic)
+        out_feat = CrossAttFeatTrans(
+            s, name="ator_out_trans",
+            keep_attn_scores=self.keep_attn_scores)(
+                in_feat, new_attractors, pos_biases,
+                deterministic=deterministic)
+        return out_feat
