@@ -1,0 +1,243 @@
+"""EfficientNet-B0..B7 feature extractor in flax (channels-last, NHWC).
+
+Built from the EfficientNet paper's architecture to mirror the behavior of the
+reference's vendored implementation (reference code/efficientnet/model.py,
+utils.py) closely enough for exact weight conversion:
+
+  * round_filters / round_repeats width & depth scaling (utils.py:82-127),
+  * MBConv: expand -> depthwise -> SE (squeeze channels from *input* filters,
+    model.py:71) -> project, swish activations, id-skip + drop-connect,
+  * BatchNorm eps 1e-3, momentum 0.99 (TF convention),
+  * endpoints = last activation of segments 0,1,2,4 plus the head conv output
+    ("reduction_1..5", model.py:184-214, 240-284),
+  * ``stem_stride`` 1|2: stride-1 stem doubles every feature map
+    (bb_feat_upsize, model.py:174-176),
+  * **static SAME padding**: the reference precomputes TF-SAME pads from the
+    *variant's nominal image size* (e.g. 380 for b4), not the runtime size
+    (utils.py:248-276), and the nominal size chain divides by 2 after the stem
+    regardless of stem_stride (model.py:178). Released checkpoints were trained
+    with those pads, so we replicate the same static chain. Set
+    ``padding_mode='same'`` for true TF-SAME (computed from runtime size).
+
+Module names mirror the torch attribute names (_conv_stem, _blocks.{i},
+_expand_conv, ...) so the generic state_dict converter maps weights with no
+special cases.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# name: (width_coefficient, depth_coefficient, nominal_resolution, dropout)
+EFFICIENTNET_PARAMS = {
+    "eff-b0": (1.0, 1.0, 224, 0.2),
+    "eff-b1": (1.0, 1.1, 240, 0.2),
+    "eff-b2": (1.1, 1.2, 260, 0.3),
+    "eff-b3": (1.2, 1.4, 300, 0.3),
+    "eff-b4": (1.4, 1.8, 380, 0.4),
+    "eff-b5": (1.6, 2.2, 456, 0.4),
+    "eff-b6": (1.8, 2.6, 528, 0.5),
+    "eff-b7": (2.0, 3.1, 600, 0.5),
+}
+
+# B0 block args: (num_repeat, kernel, stride, expand_ratio, in_filters,
+# out_filters, se_ratio) -- reference utils.py:512-520.
+_B0_BLOCKS = (
+    (1, 3, 1, 1, 32, 16, 0.25),
+    (2, 3, 2, 6, 16, 24, 0.25),
+    (2, 5, 2, 6, 24, 40, 0.25),
+    (3, 3, 2, 6, 40, 80, 0.25),
+    (3, 5, 1, 6, 80, 112, 0.25),
+    (4, 5, 2, 6, 112, 192, 0.25),
+    (1, 3, 1, 6, 192, 320, 0.25),
+)
+_ENDPOINT_SEGMENTS = (0, 1, 2, 4)  # reference model.py:184
+
+
+def round_filters(filters: int, width_coefficient: float,
+                  divisor: int = 8) -> int:
+    """Reference utils.py:82-108."""
+    filters *= width_coefficient
+    new_filters = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_filters < 0.9 * filters:
+        new_filters += divisor
+    return int(new_filters)
+
+
+def round_repeats(repeats: int, depth_coefficient: float) -> int:
+    return int(math.ceil(depth_coefficient * repeats))
+
+
+def _static_same_pad(image_size: Tuple[int, int], kernel: int,
+                     stride: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """TF-SAME zero-pad computed from a nominal size (utils.py:255-271).
+    Returns ((top, bottom), (left, right))."""
+    ih, iw = image_size
+    oh, ow = math.ceil(ih / stride), math.ceil(iw / stride)
+    pad_h = max((oh - 1) * stride + kernel - ih, 0)
+    pad_w = max((ow - 1) * stride + kernel - iw, 0)
+    return ((pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2))
+
+
+def _ceil_div_size(size: Tuple[int, int], stride: int) -> Tuple[int, int]:
+    return (int(math.ceil(size[0] / stride)), int(math.ceil(size[1] / stride)))
+
+
+@dataclass(frozen=True)
+class _BlockSpec:
+    kernel: int
+    stride: int
+    expand_ratio: int
+    in_filters: int
+    out_filters: int
+    se_ratio: float
+    pad: Tuple[Tuple[int, int], Tuple[int, int]]  # depthwise conv pad
+
+
+def build_block_specs(variant: str, stem_stride: int = 2,
+                      padding_mode: str = "static_same",
+                      ) -> Tuple[Tuple[_BlockSpec, ...], Tuple[int, ...], int, int,
+                                 Tuple[Tuple[int, int], Tuple[int, int]]]:
+    """Expand B0 args by the variant's width/depth and precompute static pads.
+    Returns (blocks, endpoint_block_indices, stem_filters, head_filters,
+    stem_pad)."""
+    w, d, res, _ = EFFICIENTNET_PARAMS[variant]
+    size = (res, res)
+    stem_filters = round_filters(32, w)
+    stem_pad = (_static_same_pad(size, 3, stem_stride)
+                if padding_mode == "static_same" else None)
+    # Nominal size divides by 2 after the stem regardless of stem_stride
+    # (reference model.py:178).
+    size = _ceil_div_size(size, 2)
+    blocks: List[_BlockSpec] = []
+    endpoint_blk_indices = []
+    for seg_i, (r, k, s, e, ci, co, se) in enumerate(_B0_BLOCKS):
+        ci_r, co_r = round_filters(ci, w), round_filters(co, w)
+        r_r = round_repeats(r, d)
+        for j in range(r_r):
+            stride = s if j == 0 else 1
+            in_f = ci_r if j == 0 else co_r
+            pad = (_static_same_pad(size, k, stride)
+                   if padding_mode == "static_same" else None)
+            blocks.append(_BlockSpec(k, stride, e, in_f, co_r, se, pad))
+            if j == 0:
+                size = _ceil_div_size(size, stride)
+        if seg_i in _ENDPOINT_SEGMENTS:
+            endpoint_blk_indices.append(len(blocks))
+    head_filters = round_filters(1280, w)
+    return (tuple(blocks), tuple(endpoint_blk_indices), stem_filters,
+            head_filters, stem_pad)
+
+
+def _BN(use_running_average=True, axis_name=None, dtype=jnp.float32,
+        name=None):
+    """BatchNorm with TF eps/momentum; optional cross-replica sync via
+    axis_name (replaces the reference's SyncBatchNorm under DDP,
+    train2d.py:1109). Plain constructor (not a wrapper module) so the param
+    path matches the torch attribute name exactly."""
+    return nn.BatchNorm(use_running_average=use_running_average,
+                        momentum=0.99, epsilon=1e-3, dtype=dtype,
+                        axis_name=axis_name, name=name)
+
+
+def _drop_connect(x, rate, deterministic, rng):
+    """Per-sample stochastic depth (reference utils.py:129-154)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x / keep * mask
+
+
+class MBConvBlock(nn.Module):
+    spec: _BlockSpec
+    drop_rate: float
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = self.spec
+        inputs = x
+        expanded = s.in_filters * s.expand_ratio
+        conv = lambda feats, k, stride, name, groups=1, pad="VALID": nn.Conv(
+            feats, (k, k), strides=(stride, stride), padding=pad,
+            feature_group_count=groups, use_bias=False, dtype=self.dtype,
+            name=name)
+        if s.expand_ratio != 1:
+            x = conv(expanded, 1, 1, "_expand_conv")(x)
+            x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn0")(x)
+            x = nn.silu(x)
+        pad = s.pad if s.pad is not None else "SAME"
+        x = conv(expanded, s.kernel, s.stride, "_depthwise_conv",
+                 groups=expanded, pad=pad)(x)
+        x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn1")(x)
+        x = nn.silu(x)
+        if s.se_ratio and 0 < s.se_ratio <= 1:
+            # squeeze channels computed from *input* filters (model.py:71)
+            nsq = max(1, int(s.in_filters * s.se_ratio))
+            se = jnp.mean(x, axis=(1, 2), keepdims=True)
+            se = nn.Conv(nsq, (1, 1), use_bias=True, dtype=self.dtype,
+                         name="_se_reduce")(se)
+            se = nn.silu(se)
+            se = nn.Conv(expanded, (1, 1), use_bias=True, dtype=self.dtype,
+                         name="_se_expand")(se)
+            x = jax.nn.sigmoid(se) * x
+        x = conv(s.out_filters, 1, 1, "_project_conv")(x)
+        x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn2")(x)
+        if s.stride == 1 and s.in_filters == s.out_filters:
+            if train and self.drop_rate > 0:
+                rng = self.make_rng("dropout")
+                x = _drop_connect(x, self.drop_rate, not train, rng)
+            x = x + inputs
+        return x
+
+
+class EfficientNetFeatures(nn.Module):
+    """EfficientNet backbone producing the 5-level pyramid used by Segtran
+    (reference model.py extract_endpoints)."""
+    variant: str = "eff-b4"
+    stem_stride: int = 2
+    in_channels: int = 3
+    padding_mode: str = "static_same"     # static_same (ckpt-parity) | same
+    drop_connect_rate: float = 0.2
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, ...]:
+        """x: [B, H, W, C] -> 5 endpoints at strides (1,2,4,8,16)/stem_stride."""
+        blocks, ep_idx, stem_f, head_f, stem_pad = build_block_specs(
+            self.variant, self.stem_stride, self.padding_mode)
+        pad = stem_pad if stem_pad is not None else "SAME"
+        x = nn.Conv(stem_f, (3, 3), strides=(self.stem_stride,) * 2,
+                    padding=pad, use_bias=False, dtype=self.dtype,
+                    name="_conv_stem")(x)
+        x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn0")(x)
+        x = nn.silu(x)
+        prev = x
+        endpoints = []
+        n = len(blocks)
+        for i, spec in enumerate(blocks):
+            rate = self.drop_connect_rate * float(i) / n
+            x = MBConvBlock(spec, rate, self.bn_axis_name, self.dtype,
+                            name=f"_blocks_{i}")(x, train=train)
+            if (i + 1) in ep_idx:
+                # endpoint is the input of the next segment's first block,
+                # i.e. this block's output -- reference captures prev_x at
+                # idx in endpoint_blk_indices (model.py:270-273).
+                endpoints.append(x)
+            prev = x
+        x = nn.Conv(head_f, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="_conv_head")(x)
+        x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn1")(x)
+        x = nn.silu(x)
+        endpoints.append(x)
+        return tuple(endpoints)
