@@ -59,7 +59,10 @@ def avg_pool_nhwc(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
     assert x.ndim == n_sp + 2
     dims = (1,) + window + (1,)
     summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, dims, "VALID")
-    return summed / float(jnp.prod(jnp.asarray(window)))
+    denom = 1.0
+    for w in window:
+        denom *= w
+    return summed / denom
 
 
 def max_pool_nhwc(x: jnp.ndarray, window: Sequence[int],
