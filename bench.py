@@ -39,12 +39,19 @@ def main():
         model, {"params": jax.random.PRNGKey(0)}, x[:1])
     variables = {"params": params, **rest}
 
+    import sys
+    print(f"[bench] params built, compiling... ({time.strftime('%H:%M:%S')})",
+          file=sys.stderr, flush=True)
+
     @jax.jit
     def fwd(variables, x):
         return model.apply(variables, x, train=False)
 
+    t_c = time.perf_counter()
     out = fwd(variables, x)
     jax.block_until_ready(out)
+    print(f"[bench] compiled in {time.perf_counter()-t_c:.1f}s",
+          file=sys.stderr, flush=True)
     for _ in range(WARMUP):
         jax.block_until_ready(fwd(variables, x))
     t0 = time.perf_counter()

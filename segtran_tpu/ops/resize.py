@@ -51,6 +51,44 @@ def interpolate_channels_last(x: jnp.ndarray,
     return resize_linear(x, new_size)
 
 
+def _align_corners_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """[n_out, n_in] linear-interp matrix with align_corners=True sampling
+    (src = i * (n_in-1)/(n_out-1)). Static shapes -> a constant; XLA lowers
+    the application to an MXU matmul."""
+    if n_in == n_out:
+        return jnp.eye(n_out)
+    if n_out == 1:
+        m = jnp.zeros((1, n_in)).at[0, 0].set(1.0)
+        return m
+    src = jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+    hi = jnp.clip(lo + 1, 0, n_in - 1)
+    frac = src - lo
+    m = jnp.zeros((n_out, n_in))
+    m = m.at[jnp.arange(n_out), lo].add(1.0 - frac)
+    m = m.at[jnp.arange(n_out), hi].add(frac)
+    return m
+
+
+def resize_linear_align_corners(x: jnp.ndarray,
+                                spatial_size: Sequence[int]) -> jnp.ndarray:
+    """Bilinear/trilinear resize with torch align_corners=True semantics
+    (used by the reference's vanilla U-Net upsampling,
+    unet2d/unet_parts.py:50). Channels-last [B, *spatial, C]."""
+    spatial_size = tuple(int(s) for s in spatial_size)
+    n_sp = len(spatial_size)
+    assert x.ndim == n_sp + 2
+    if x.shape[1:-1] == spatial_size:
+        return x
+    for axis, n_out in zip(range(1, 1 + n_sp), spatial_size):
+        n_in = x.shape[axis]
+        if n_in == n_out:
+            continue
+        m = _align_corners_matrix(n_in, n_out).astype(x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(m, x, axes=[[1], [axis]]), 0, axis)
+    return x
+
+
 def avg_pool_nhwc(x: jnp.ndarray, window: Sequence[int]) -> jnp.ndarray:
     """Non-overlapping average pool over the spatial dims of a channels-last
     tensor (torch nn.AvgPool2d/3d with stride == kernel)."""
