@@ -102,10 +102,17 @@ def apply_reference_init_schemes(params: Dict[str, Any],
     return params
 
 
-def init_with_reference_schemes(model, rngs, *args, **kwargs):
+def init_with_reference_schemes(model, rngs, *args, jit_init=True, **kwargs):
     """model.init + the reference's post-init passes. Returns (params, rest)
-    where rest holds non-param collections (e.g. batch_stats)."""
-    variables = model.init(rngs, *args, **kwargs)
+    where rest holds non-param collections (e.g. batch_stats).
+
+    jit_init compiles initialization into one XLA program -- essential on a
+    remote TPU where eager per-op dispatch is round-trip bound."""
+    from functools import partial
+    init_fn = partial(model.init, **kwargs)
+    if jit_init:
+        init_fn = jax.jit(init_fn)
+    variables = init_fn(rngs, *args)
     params = variables.get("params", {})
     site_meta = variables.get("site_meta", {})
     params = apply_reference_init_schemes(params, site_meta)

@@ -1,0 +1,104 @@
+"""Segtran25d parity vs the reference (oracle).
+
+The reference segtran25d.py calls voxel_fusion(vfeat, pos, mask) without the
+orig_feat_shape argument that the current SegtranFusionEncoder requires
+(segtran25d.py:457 vs segtran_shared.py:907) -- the module is stale in the
+reference repo. The oracle run patches the bound method to supply the shape;
+lsinu positional codes never read it, so numerics are unaffected.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/code"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not available")
+
+torch = pytest.importorskip("torch")
+
+
+class _CudaFreeTensor:
+    def __enter__(self):
+        self._orig = torch.tensor
+
+        def shim(*args, **kwargs):
+            if kwargs.get("device") == "cuda":
+                kwargs.pop("device")
+            return self._orig(*args, **kwargs)
+        torch.tensor = shim
+        return self
+
+    def __exit__(self, *exc):
+        torch.tensor = self._orig
+
+
+def test_segtran25d_full_parity():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if "train_util" not in sys.modules:
+        tu = types.ModuleType("train_util")
+        tu.batch_norm = None
+        sys.modules["train_util"] = tu
+    import networks.segtran25d as ref25d
+    from argparse import Namespace
+
+    import jax
+    import jax.numpy as jnp
+    from segtran_tpu.configs import Segtran25dConfig
+    from segtran_tpu.models.segtran25d import Segtran25d
+    from segtran_tpu.nn.init import init_with_reference_schemes
+    from segtran_tpu.convert import convert_state_dict, assign_converted
+
+    torch.manual_seed(21)
+    rcfg = ref25d.Segtran25dConfig()
+    rcfg.use_pretrained = False
+    rcfg.device = "cpu"
+    rcfg.backbone_type = "eff-b3"
+    rcfg.bb_feat_dims = ref25d.bb2feat_dims["eff-b3"]
+    rcfg.num_translayers = 1
+    rcfg.num_attractors = 8
+    rcfg.num_classes = 4
+    rcfg.orig_in_channels = 4
+    rcfg.inchan_to3_scheme = "stemconv"
+    rcfg.hidden_dropout_prob = 0.0
+    rcfg.attention_probs_dropout_prob = 0.0
+    # another stale attribute the 25d module expects but the config lacks
+    rcfg.pos_code_every_layer = True
+    fpn = Namespace(in_fpn_layers="34", out_fpn_layers="1234",
+                    in_fpn_scheme="AN", out_fpn_scheme="AN",
+                    translayer_compress_ratios=[1, 2])
+    rcfg.set_fpn_layers("test", fpn, do_print=False)
+    ref_model = ref25d.Segtran25d(rcfg)
+    ref_model.eval()
+
+    # patch the stale voxel_fusion call (see module docstring)
+    h2 = w2 = 112 // 8
+    d3 = 8 // rcfg.D_pool_K
+    orig_fwd = ref_model.voxel_fusion.forward
+    ref_model.voxel_fusion.forward = (
+        lambda vfeat, pos, mask: orig_fwd(vfeat, pos, mask,
+                                          torch.Size((h2, w2, d3))))
+
+    x = torch.randn(1, 4, 112, 112, 8)
+    with _CudaFreeTensor(), torch.no_grad():
+        y_ref = ref_model(x).numpy()
+
+    cfg = Segtran25dConfig(
+        num_classes=4, num_attractors=8, orig_in_channels=4,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    ).derive(translayer_compress_ratios=(1.0, 2.0))
+    model = Segtran25d(cfg)
+    x_j = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, x_j)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    conv_params, conv_stats = convert_state_dict(sd, tie_qk_shared=True)
+    params = assign_converted(params, conv_params)
+    batch_stats = assign_converted(rest["batch_stats"], conv_stats)
+    y = model.apply({"params": params, "batch_stats": batch_stats}, x_j,
+                    train=False)
+    y = np.asarray(y).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=3e-4)
