@@ -1,0 +1,306 @@
+"""2D training driver (the reference's code/train2d.py as one jitted graph).
+
+Differences from the reference runtime, by design:
+  * augmentation + label mapping + input downscale run ON DEVICE inside the
+    jitted train step (the reference does them in DataLoader workers and with
+    per-step F.interpolate, train2d.py:1147-1205),
+  * DDP/SyncBN/DistributedSampler/reduce_tensor are replaced by one
+    mesh-sharded jit (parallel/mesh.py),
+  * checkpoints are orbax trees with config sidecars (train/checkpoint.py).
+
+Usage (mirrors the reference recipe, README.md:19-21):
+  python -m segtran_tpu.cli.train2d --task fundus --translayers 3 \
+      --layercompress 1,1,2,2 --net segtran --bb eff-b4 --maxiter 10000 \
+      --bs 6 --noqkbias --dataroot /path/to/data
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Segtran2dConfig
+from ..configs.presets import NET_SETTINGS, TASK_SETTINGS
+from ..data.augment import Aug2dConfig, augment_batch_2d
+from ..data.datasets2d import SegCrop, SegWhole, ConcatDataset
+from ..data.labelmaps import fundus_map_mask, polyp_map_mask, index_to_onehot
+from ..data.pipeline import batch_iterator, prefetch_to_device
+from ..models import Segtran2d
+from ..models.unet2d import VanillaUNet
+from ..nn.init import init_with_reference_schemes
+from ..ops.resize import resize_linear
+from ..parallel.mesh import (make_mesh, replicate_to_mesh,
+                             shard_batch_to_mesh, shard_train_step)
+from ..train.checkpoint import save_checkpoint, load_checkpoint, merge_params
+from ..train.trainer import (build_optimizer, create_train_state,
+                             make_loss_fn, make_train_step)
+from ..utils import AverageMeters, setup_logging
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", dest="task_name", default="fundus",
+                   choices=list(TASK_SETTINGS))
+    p.add_argument("--ds", dest="ds_names", default=None,
+                   help="comma-separated dataset names")
+    p.add_argument("--split", default="train", choices=["train", "all"])
+    p.add_argument("--dataroot", default="../data")
+    p.add_argument("--net", default="segtran")
+    p.add_argument("--bb", dest="backbone_type", default="eff-b4")
+    p.add_argument("--translayers", dest="num_translayers", type=int,
+                   default=3)
+    p.add_argument("--layercompress", dest="translayer_compress_ratios",
+                   default=None, help="e.g. 1,1,2,2")
+    p.add_argument("--attractors", dest="num_attractors", type=int,
+                   default=256)
+    p.add_argument("--modes", dest="num_modes", type=int, default=-1)
+    p.add_argument("--dropout", dest="dropout_prob", type=float, default=-1)
+    p.add_argument("--noqkbias", dest="qk_have_bias", action="store_false")
+    p.add_argument("--nosqueeze", dest="use_squeezed_transformer",
+                   action="store_false")
+    p.add_argument("--pos", dest="pos_code_type", default="lsinu",
+                   choices=["lsinu", "rand", "sinu", "none", "bias"])
+    p.add_argument("--multihead", dest="ablate_multihead",
+                   action="store_true")
+    p.add_argument("--infpn", dest="in_fpn_layers", default="34")
+    p.add_argument("--outfpn", dest="out_fpn_layers", default="1234")
+    p.add_argument("--maxiter", type=int, default=10000)
+    p.add_argument("--saveiter", type=int, default=500)
+    p.add_argument("--bs", dest="batch_size", type=int, default=6)
+    p.add_argument("--lr", type=float, default=-1)
+    p.add_argument("--decay", type=float, default=-1)
+    p.add_argument("--gradclip", dest="grad_clip", type=float, default=-1)
+    p.add_argument("--lrwarmup", dest="lr_warmup_steps", type=int,
+                   default=500)
+    p.add_argument("--diceweight", dest="max_dice_w", type=float, default=0.5)
+    p.add_argument("--focus", dest="focus_class", type=int, default=-1)
+    p.add_argument("--randscale", type=float, default=0.2)
+    p.add_argument("--gray", dest="gray_alpha", type=float, default=0.5)
+    p.add_argument("--stats", dest="stats_json", default=None,
+                   help="dataset mean/std JSON (reference format)")
+    p.add_argument("--polyformer", dest="polyformer_mode", default=None,
+                   choices=[None, "source", "target"])
+    p.add_argument("--sourceopt", dest="poly_source_opt", default="allpoly")
+    p.add_argument("--targetopt", dest="poly_target_opt", default="k")
+    p.add_argument("--sample", dest="sample_num", type=int, default=-1,
+                   help="few-shot: number of training shots")
+    p.add_argument("--cp", dest="checkpoint_path", default=None)
+    p.add_argument("--ckptdir", default="./model")
+    p.add_argument("--origsize", dest="orig_input_size", default=None,
+                   help="override task orig_input_size, e.g. 576 or 576,576")
+    p.add_argument("--patchsize", dest="patch_size", default=None,
+                   help="override task patch_size (model input)")
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--ndevices", type=int, default=-1)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (recommended on TPU)")
+    return p
+
+
+def load_stats(args, ds_name):
+    if args.stats_json and os.path.isfile(args.stats_json):
+        with open(args.stats_json) as f:
+            stats = json.load(f)
+        return (tuple(stats["mean"][ds_name]), tuple(stats["std"][ds_name]))
+    return ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+
+
+def build_model_and_config(args, task):
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.net == "segtran":
+        net_set = NET_SETTINGS["segtran"]
+        num_modes = args.num_modes if args.num_modes != -1 else \
+            net_set["num_modes"].get(args.in_fpn_layers, 4)
+        dropout = args.dropout_prob if args.dropout_prob >= 0 else \
+            net_set["dropout_prob"].get(args.in_fpn_layers, 0.2)
+        compress = tuple(
+            float(x) for x in (args.translayer_compress_ratios or
+                               ",".join(["1"] * (args.num_translayers + 1))
+                               ).split(","))
+        cfg = Segtran2dConfig(
+            backbone_type=args.backbone_type,
+            num_classes=task["num_classes"],
+            num_attractors=args.num_attractors,
+            num_modes=num_modes,
+            qk_have_bias=args.qk_have_bias,
+            use_squeezed_transformer=args.use_squeezed_transformer,
+            ablate_multihead=args.ablate_multihead,
+            pos_code_type=args.pos_code_type,
+            in_fpn_layers=tuple(int(c) for c in args.in_fpn_layers),
+            out_fpn_layers=tuple(int(c) for c in args.out_fpn_layers),
+            hidden_dropout_prob=dropout,
+            attention_probs_dropout_prob=dropout,
+            dtype=dtype,
+        ).derive(translayer_compress_ratios=compress)
+        return Segtran2d(cfg), cfg
+    if args.net == "unet-scratch":
+        cfg = None
+        model = VanillaUNet(n_channels=3, num_classes=task["num_classes"],
+                            polyformer_mode=args.polyformer_mode,
+                            num_attractors=args.num_attractors,
+                            num_modes=4 if args.num_modes == -1
+                            else args.num_modes,
+                            dtype=dtype)
+        return model, cfg
+    raise ValueError(f"net {args.net} is not wired into the 2D trainer yet")
+
+
+def make_full_step(model, tx, task, args, aug_cfg, patch_size):
+    """Train step over RAW batches: on-device label map -> augment ->
+    downscale to patch_size -> model -> loss."""
+    loss_fn = make_loss_fn(task["num_classes"], task["bce_weight"],
+                           dice_w=args.max_dice_w,
+                           focus_class=args.focus_class)
+    base_step = make_train_step(model, tx, loss_fn)
+    task_name = args.task_name
+
+    def map_mask(raw_mask):
+        if task_name == "fundus":
+            return fundus_map_mask(raw_mask)
+        if task_name == "polyp":
+            return polyp_map_mask(raw_mask)
+        return index_to_onehot(raw_mask[..., 0], task["num_classes"])
+
+    def step(state, batch):
+        rng = jax.random.fold_in(state.rng, state.step + 77)
+        mask = map_mask(batch["mask"])
+        image, mask = augment_batch_2d(rng, batch["image"], mask, aug_cfg)
+        image_small = resize_linear(image, patch_size)
+        return base_step(state, {"image": image_small, "mask": mask})
+
+    return step
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    task = dict(TASK_SETTINGS[args.task_name])
+    for field, override in (("orig_input_size", args.orig_input_size),
+                            ("patch_size", args.patch_size)):
+        if override:
+            vals = tuple(int(v) for v in str(override).split(","))
+            task[field] = vals * 2 if len(vals) == 1 else vals
+    ds_names = (args.ds_names.split(",") if args.ds_names
+                else list(task["ds_names"]))
+    job = f"{args.net}-{args.task_name}-{','.join(ds_names)}-" \
+          f"{time.strftime('%m%d%H%M')}"
+    ckpt_dir = os.path.join(args.ckptdir, job)
+    logger = setup_logging(ckpt_dir)
+    logger.info("args: %s", vars(args))
+
+    # ---- data ----
+    ds_cls = {"SegCrop": SegCrop, "SegWhole": SegWhole}[task["ds_class"]]
+    datasets = []
+    for name in ds_names:
+        datasets.append(ds_cls(
+            base_dir=os.path.join(args.dataroot, args.task_name, name),
+            split=args.split, sample_num=args.sample_num,
+            mask_num_classes=task["num_classes"],
+            binarize=task.get("binarize", False),
+            out_size=task["orig_input_size"], seed=args.seed))
+    dataset = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
+    logger.info("%d training samples", len(dataset))
+    mean, std = load_stats(args, ds_names[0])
+    aug_cfg = Aug2dConfig(randscale=args.randscale,
+                          gray_alpha=args.gray_alpha, mean=mean, std=std)
+
+    # ---- model / optimizer ----
+    model, cfg = build_model_and_config(args, task)
+    net_set = NET_SETTINGS.get(args.net, NET_SETTINGS["unet-like"])
+    lr = args.lr if args.lr > 0 else net_set["lr"]
+    decay = args.decay if args.decay >= 0 else net_set["decay"]
+    grad_clip = args.grad_clip if args.grad_clip > 0 else net_set["grad_clip"]
+    warmup_ratio = min(args.lr_warmup_steps, args.maxiter // 2) / args.maxiter
+
+    sample = dataset[0]
+    example = jnp.zeros((1,) + tuple(task["patch_size"]) + (3,), jnp.float32)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(args.seed)}, example)
+    batch_stats = rest.get("batch_stats", {})
+
+    if args.checkpoint_path:
+        payload = load_checkpoint(args.checkpoint_path, cfg)
+        params = merge_params(params, payload.get("params", {}))
+        if payload.get("batch_stats"):
+            batch_stats = merge_params(batch_stats, payload["batch_stats"])
+        logger.info("loaded checkpoint %s", args.checkpoint_path)
+
+    if args.polyformer_mode:
+        # param-subset optimization (reference train2d.py:462-503): decay=0,
+        # non-selected params frozen via a zero transform
+        from ..adapt.polyformer import polyformer_param_labels
+        import optax
+        from ..train.bertadam import bert_adam
+        opt_mode = (args.poly_source_opt if args.polyformer_mode == "source"
+                    else args.poly_target_opt)
+        labels = partial(polyformer_param_labels, opt_mode=opt_mode)
+        tx = optax.multi_transform(
+            {"normal": bert_adam(lr, warmup_ratio, args.maxiter,
+                                 weight_decay=0.0),
+             "frozen": optax.set_to_zero()},
+            labels)
+    else:
+        tx = build_optimizer(lr=lr, decay=decay, t_total=args.maxiter,
+                             warmup_ratio=warmup_ratio, grad_clip=grad_clip)
+
+    state = create_train_state(params, batch_stats, tx,
+                               jax.random.PRNGKey(args.seed + 1))
+
+    # ---- mesh & step ----
+    n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
+    mesh = make_mesh(n_dev)
+    step_fn = make_full_step(model, tx, task, args, aug_cfg,
+                             tuple(task["patch_size"]))
+    sharded_step = shard_train_step(step_fn, mesh, donate_state=True)
+    state = replicate_to_mesh(state, mesh)
+    logger.info("mesh: %s devices, global batch %d", n_dev, args.batch_size)
+
+    # ---- TB ----
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(os.path.join(ckpt_dir, "log"))
+    except ImportError:
+        writer = None
+
+    meters = AverageMeters()
+    iter_num = 0
+    epoch = 0
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    batch_sharding = NamedSharding(mesh, P("data"))
+    t0 = time.time()
+    while iter_num < args.maxiter:
+        it = batch_iterator(dataset, args.batch_size, epoch, seed=args.seed,
+                            keys=("image", "mask"))
+        for batch in prefetch_to_device(it, sharding=batch_sharding):
+            state, metrics = sharded_step(state, batch)
+            iter_num += 1
+            for k, v in metrics.items():
+                meters.update(k, float(v))
+            if writer is not None:
+                for k, v in metrics.items():
+                    writer.add_scalar(k, float(v), iter_num)
+            if iter_num % 50 == 0:
+                logger.info("iter %d (%.2f it/s): %s", iter_num,
+                            iter_num / (time.time() - t0),
+                            meters.disp_str(("loss", "ce_loss", "dice_loss")))
+                meters.reset_disp()
+            if iter_num % args.saveiter == 0 or iter_num >= args.maxiter:
+                host_state = jax.device_get(state)
+                save_checkpoint(ckpt_dir, iter_num, host_state.params,
+                                host_state.batch_stats, cfg=cfg)
+                logger.info("saved iter_%d", iter_num)
+            if iter_num >= args.maxiter:
+                break
+        epoch += 1
+    logger.info("done: %d iters in %.1fs", iter_num, time.time() - t0)
+    return ckpt_dir
+
+
+if __name__ == "__main__":
+    main()

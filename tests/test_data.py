@@ -1,0 +1,116 @@
+"""Data layer: datasets (using the reference's shipped 2-image sample data as
+a read-only fixture), device-side augmentation, label maps, pipeline."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segtran_tpu.data.augment import (Aug2dConfig, augment_batch_2d,
+                                      random_rot_flip_3d, random_noise_3d,
+                                      random_resized_crop_3d)
+from segtran_tpu.data.labelmaps import fundus_map_mask, harden_segmap
+from segtran_tpu.data.labelmaps3d import (brats_map_label,
+                                          make_brats_pred_consistent,
+                                          brats_inv_map_label)
+from segtran_tpu.data.pipeline import batch_iterator, epoch_indices
+
+FUNDUS_DIR = "/root/reference/data/fundus/train"
+
+
+@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
+                    reason="sample data not available")
+def test_segcrop_loads_sample_data(tmp_path):
+    import shutil
+    from segtran_tpu.data.datasets2d import SegCrop
+    # copy the 2-image smoke fixture so list files are created in tmp
+    base = tmp_path / "train"
+    shutil.copytree(FUNDUS_DIR, base)
+    for f in base.glob("*.list"):
+        f.unlink()
+    ds = SegCrop(base_dir=str(base), split="all", out_size=(576, 576),
+                 uncropped_size=(2056, 2124))
+    assert len(ds) >= 1
+    s = ds[0]
+    assert s["image"].shape == (576, 576, 3)
+    assert s["image"].dtype == np.float32
+    assert s["mask"].shape[:2] == (576, 576)
+    assert (s["crop_pos"] >= 0).all()
+    nhot = fundus_map_mask(jnp.asarray(s["mask"]))
+    assert nhot.shape == (576, 576, 3)
+    # disc channel includes cup
+    assert bool(jnp.all(nhot[..., 1] >= nhot[..., 2]))
+
+
+def test_augment_2d_shapes_and_determinism():
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(4, 64, 64, 3) > 0.5).astype(np.float32))
+    cfg = Aug2dConfig(randscale=0.1, mean=(0.4, 0.3, 0.2),
+                      std=(0.2, 0.2, 0.2))
+    key = jax.random.PRNGKey(7)
+    a1, m1 = jax.jit(lambda k, i, m: augment_batch_2d(k, i, m, cfg))(
+        key, imgs, masks)
+    a2, m2 = jax.jit(lambda k, i, m: augment_batch_2d(k, i, m, cfg))(
+        key, imgs, masks)
+    assert a1.shape == imgs.shape and m1.shape == masks.shape
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))  # deterministic
+    # mask stays n-hot-ish (values in {0,1} after geometric-only ops)
+    assert set(np.unique(np.asarray(m1))) <= {0.0, 1.0}
+
+
+def test_augment_3d_ops():
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(16, 16, 8, 4).astype(np.float32))
+    lab = jnp.asarray(rng.randint(0, 4, (16, 16, 8)))
+    i2, l2 = random_rot_flip_3d(jax.random.PRNGKey(0), img, lab)
+    assert i2.shape == img.shape and l2.shape == lab.shape
+    i3 = random_noise_3d(jax.random.PRNGKey(1), img)
+    assert float(jnp.max(jnp.abs(i3 - img))) <= 0.2 + 1e-6
+    imgs = img[None]
+    masks = jax.nn.one_hot(lab, 4)[None]
+    i4, m4 = random_resized_crop_3d(jax.random.PRNGKey(2), imgs, masks, 0.1)
+    assert i4.shape == imgs.shape and m4.shape == masks.shape
+
+
+def test_brats_label_maps():
+    lab = jnp.asarray([[0, 1], [2, 3]])
+    nhot = brats_map_label(lab)
+    np.testing.assert_array_equal(np.asarray(nhot[..., 0]),
+                                  [[1, 0], [0, 0]])   # bg
+    np.testing.assert_array_equal(np.asarray(nhot[..., 1]),
+                                  [[0, 0], [0, 1]])   # ET = label 3
+    np.testing.assert_array_equal(np.asarray(nhot[..., 2]),
+                                  [[0, 1], [1, 1]])   # WT = 1|2|3
+    np.testing.assert_array_equal(np.asarray(nhot[..., 3]),
+                                  [[0, 1], [0, 1]])   # TC = 1|3
+    # consistency: WT >= TC >= ET after max-fix
+    probs = jnp.asarray([0.1, 0.9, 0.2, 0.3])[None, None, :]
+    fixed = make_brats_pred_consistent(probs)
+    assert float(fixed[..., 2].squeeze()) >= float(fixed[..., 3].squeeze()) \
+        >= float(fixed[..., 1].squeeze()) - 1e-6
+    inv = brats_inv_map_label(brats_map_label(lab))
+    # argmax of inv probs recovers the raw labels
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(inv, -1)),
+                                  np.asarray(lab))
+
+
+def test_pipeline_batching():
+    class Toy:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"image": np.full((4, 4, 3), i, np.float32),
+                    "mask": np.zeros((4, 4, 1), np.float32)}
+
+    batches = list(batch_iterator(Toy(), 4, epoch=0, seed=3))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, 4, 4, 3)
+    # deterministic per-epoch shuffling
+    i1 = epoch_indices(10, 5, seed=1)
+    i2 = epoch_indices(10, 5, seed=1)
+    np.testing.assert_array_equal(i1, i2)
+    assert not np.array_equal(epoch_indices(10, 6, seed=1), i1)

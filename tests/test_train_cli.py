@@ -1,0 +1,46 @@
+"""End-to-end 2D training CLI smoke test on the reference's 2-image fundus
+sample data: 4 iterations, checkpoint saved & reloadable."""
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+FUNDUS_DIR = "/root/reference/data/fundus/train"
+
+
+@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
+                    reason="sample data not available")
+def test_train2d_cli_end_to_end(tmp_path):
+    data_root = tmp_path / "data"
+    (data_root / "fundus").mkdir(parents=True)
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
+    for f in (data_root / "fundus" / "train").glob("*.list"):
+        f.unlink()
+
+    from segtran_tpu.cli.train2d import main
+    ckpt_dir = main([
+        "--task", "fundus", "--split", "all", "--net", "segtran",
+        "--bb", "eff-b0", "--translayers", "1", "--attractors", "8",
+        "--maxiter", "4", "--saveiter", "4", "--bs", "2",
+        "--origsize", "128", "--patchsize", "64",
+        "--dataroot", str(data_root), "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_4"))
+
+    # checkpoint reloads and config validates
+    from segtran_tpu.train.checkpoint import load_checkpoint
+    from segtran_tpu.configs import Segtran2dConfig
+    cfg = Segtran2dConfig(backbone_type="eff-b0", num_classes=3,
+                          num_attractors=8).derive(
+        translayer_compress_ratios=(1.0, 1.0))
+    payload = load_checkpoint(os.path.join(ckpt_dir, "iter_4"), cfg)
+    assert "params" in payload and "batch_stats" in payload
+
+    # arch mismatch must abort (reference train2d.py:584-609 semantics)
+    bad_cfg = Segtran2dConfig(backbone_type="eff-b1", num_classes=3,
+                              num_attractors=8).derive(
+        translayer_compress_ratios=(1.0, 1.0))
+    with pytest.raises(ValueError):
+        load_checkpoint(os.path.join(ckpt_dir, "iter_4"), bad_cfg)
