@@ -87,6 +87,9 @@ class TransformerConfig:
     ablate_multihead: bool = False
     use_attn_consist_loss: bool = False
 
+    # Pallas flash-style fused attention for serving/training fast path.
+    use_fused_attention: bool = False
+
     # If True, apply the *corrected* residual in the private FFN output.
     # The reference's MMPrivateOutput computes a residual but then normalizes the
     # non-residual tensor (segtran_shared.py:266-275) -- released checkpoints were

@@ -74,6 +74,10 @@ class TransLayerSpec:
     pos_code_weight: float = 1.0           # only used for 'bias' pos codes
     ablate_multihead: bool = False
     fix_private_output_residual: bool = False
+    # Pallas flash-style fused QK^T+softmax+PV (kernels/squeezed_attention.py).
+    # Falls back to the exact XLA path when attention dropout is active, when
+    # positional biases are fed into scores, or when scores must be kept.
+    use_fused_attention: bool = False
     ln_eps: float = 1e-12
     dtype: Any = jnp.float32
 
@@ -249,9 +253,22 @@ class ExpandedFeatTrans(nn.Module):
                     fix_residual=s.fix_private_output_residual,
                     ln_eps=s.ln_eps, dtype=s.dtype, name="output")
 
-    def __call__(self, input_feat: jnp.ndarray, attention_probs: jnp.ndarray,
+    def compute_v(self, input_feat: jnp.ndarray) -> jnp.ndarray:
+        """V projection expanded into M modes: [B, U2, in] -> [B, M, U2, F].
+        The reference's channel grouping (view(B, M, F, U).transpose) assigns
+        output channel m*F+f to (mode m, feature f); reshape(B,U2,M,F) +
+        transpose reproduces it (last dim fastest)."""
+        s = self.spec
+        b, u2, _ = input_feat.shape
+        v = self.first_linear(input_feat)
+        return v.reshape(b, u2, s.num_modes, s.feat_dim).transpose(0, 2, 1, 3)
+
+    def __call__(self, input_feat: jnp.ndarray,
+                 attention_probs: Optional[jnp.ndarray] = None,
+                 fused: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        """input_feat: [B, U2, in_feat_dim]; attention_probs: [B, M, U1, U2].
+        """input_feat: [B, U2, in_feat_dim]; attention_probs: [B, M, U1, U2]
+        (or pass precomputed `fused` [B, M, U1, F] from the Pallas kernel).
         Returns [B, U1, feat_dim] (or [B, M, U1, feat_dim] if pooling 'none')."""
         s = self.spec
         if self.is_initializing():
@@ -260,17 +277,11 @@ class ExpandedFeatTrans(nn.Module):
                 [s.num_modes, s.in_feat_dim, s.feat_dim,
                  s.feattrans_lin1_idbias_scale, s.base_initializer_range],
                 dtype=jnp.float32))
-        b, u2, _ = input_feat.shape
-        m, f = s.num_modes, s.feat_dim
-        # V projection expanded into M modes: [B, U2, M*F] -> [B, M, U2, F].
-        # The reference's channel grouping (view(B, M, F, U).transpose) assigns
-        # output channel m*F+f to (mode m, feature f); reshape(B,U2,M,F) +
-        # transpose reproduces it (last dim fastest).
-        v = self.first_linear(input_feat)
-        v = v.reshape(b, u2, m, f).transpose(0, 2, 1, 3)
-        # Fuse values with attention: [B,M,U1,U2] @ [B,M,U2,F] -> [B,M,U1,F].
-        fused = jnp.einsum("bmqk,bmkf->bmqf", attention_probs, v,
-                           preferred_element_type=s.dtype)
+        if fused is None:
+            v = self.compute_v(input_feat)
+            # Fuse values: [B,M,U1,U2] @ [B,M,U2,F] -> [B,M,U1,F].
+            fused = jnp.einsum("bmqk,bmkf->bmqf", attention_probs, v,
+                               preferred_element_type=s.dtype)
 
         if not s.has_FFN:
             # Aggregate-only path (segtran_shared.py:452-457); used by the
@@ -336,6 +347,25 @@ class CrossAttFeatTrans(nn.Module):
 
         q = q.reshape(b, u1, m, amd).transpose(0, 2, 1, 3)  # [B,M,U1,amd]
         k = k.reshape(b, u2, m, amd).transpose(0, 2, 1, 3)  # [B,M,U2,amd]
+
+        fused_ok = (s.use_fused_attention and pos_biases is None
+                    and not self.keep_attn_scores and not s.ablate_multihead
+                    and (deterministic
+                         or s.attention_probs_dropout_prob == 0.0))
+        if fused_ok:
+            from ..kernels.squeezed_attention import fused_cross_attention
+            out_trans = ExpandedFeatTrans(s, name="out_trans")
+            v = out_trans.compute_v(in_key)                # [B,M,U2,F]
+            f = s.feat_dim
+            interpret = jax.default_backend() == "cpu"
+            fused = fused_cross_attention(
+                q.reshape(b * m, u1, amd), k.reshape(b * m, u2, amd),
+                v.reshape(b * m, u2, f), attn_clip=s.attn_clip,
+                interpret=interpret)
+            fused = fused.reshape(b, m, u1, f).astype(s.dtype)
+            return out_trans(in_key, fused=fused,
+                             deterministic=deterministic)
+
         scores = jnp.einsum("bmqd,bmkd->bmqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(amd)

@@ -47,6 +47,7 @@ def layer_spec_from_config(cfg: TransformerConfig, layer_i: int) -> TransLayerSp
         pos_code_weight=cfg.pos_code_weight if cfg.pos_code_type == "bias" else 1.0,
         ablate_multihead=cfg.ablate_multihead,
         fix_private_output_residual=cfg.fix_private_output_residual,
+        use_fused_attention=cfg.use_fused_attention,
         ln_eps=cfg.ln_eps,
         dtype=cfg.dtype,
     )

@@ -1,0 +1,29 @@
+"""Fused-attention model path == exact XLA path (CPU interpret mode)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from segtran_tpu.configs import Segtran2dConfig
+from segtran_tpu.models import Segtran2d
+from segtran_tpu.nn.init import init_with_reference_schemes
+
+
+def test_fused_attention_model_parity():
+    import dataclasses
+    base = Segtran2dConfig(
+        backbone_type="eff-b0", num_classes=3, num_attractors=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    ).derive(translayer_compress_ratios=(1.0, 2.0))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+
+    model = Segtran2d(base)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, x)
+    y_exact = model.apply({"params": params, **rest}, x, train=False)
+
+    fused_cfg = dataclasses.replace(base, use_fused_attention=True)
+    model_f = Segtran2d(fused_cfg)
+    y_fused = model_f.apply({"params": params, **rest}, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_exact),
+                               rtol=1e-4, atol=1e-4)

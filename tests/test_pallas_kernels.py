@@ -1,0 +1,38 @@
+"""Pallas kernel parity (interpret mode on CPU) vs the XLA oracle."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from segtran_tpu.kernels.squeezed_attention import (fused_cross_attention,
+                                                    cross_attention_reference)
+
+
+@pytest.mark.parametrize("g,q,n,d,f", [
+    (4, 256, 1296, 448, 448),     # squeeze-out: tokens<-attractors dims vary
+    (1, 256, 700, 64, 64),        # padding on N
+    (2, 100, 130, 128, 256),      # padding on Q and N, F != D
+])
+def test_fused_cross_attention_matches_reference(g, q, n, d, f):
+    rng = np.random.RandomState(0)
+    Q = jnp.asarray(rng.randn(g, q, d).astype(np.float32) * 0.2)
+    K = jnp.asarray(rng.randn(g, n, d).astype(np.float32) * 0.2)
+    V = jnp.asarray(rng.randn(g, n, f).astype(np.float32))
+    out = fused_cross_attention(Q, K, V, interpret=True,
+                                tile_q=128, tile_n=256)
+    ref = cross_attention_reference(Q, K, V)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_cross_attention_clamp():
+    """Rows with huge scores must clamp like the oracle."""
+    rng = np.random.RandomState(1)
+    Q = jnp.asarray(rng.randn(1, 128, 64).astype(np.float32) * 10)
+    K = jnp.asarray(rng.randn(1, 256, 64).astype(np.float32) * 10)
+    V = jnp.asarray(rng.randn(1, 256, 64).astype(np.float32))
+    out = fused_cross_attention(Q, K, V, attn_clip=500.0, interpret=True)
+    ref = cross_attention_reference(Q, K, V, attn_clip=500.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
