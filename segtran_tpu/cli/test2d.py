@@ -1,0 +1,217 @@
+"""2D evaluation driver: checkpoint sweeps + batched sliding-window inference
++ Dice/vCDR metrics + mask saving.
+
+Replaces the reference's code/test2d.py + test_util2d.py: the per-patch Python
+loop becomes one jitted gather->model->scatter graph (infer/sliding.py), the
+iteration sweep ("7000,8000" or "40-1600,40", reference test2d.py:753-769) is
+kept, per-class Dice matches calc_batch_metric (test_util2d.py:241-265), and
+predictions can be saved as REFUGE-format grayscale masks.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.presets import TASK_SETTINGS
+from ..data.datasets2d import SegCrop, SegWhole
+from ..data.labelmaps import (fundus_map_mask, fundus_inv_map_mask,
+                              polyp_map_mask, polyp_inv_map_mask,
+                              harden_segmap, index_to_onehot)
+from ..data.pipeline import batch_iterator
+from ..infer.metrics import batch_dice_per_class
+from ..infer.sliding import sliding_window_2d
+from ..ops.losses import calc_vcdr_batch
+from ..train.checkpoint import load_checkpoint, merge_params
+from ..nn.init import init_with_reference_schemes
+from ..utils import setup_logging
+
+
+def parse_iters(spec: str):
+    """"7000,8000" or "40-1600,40" (reference test2d.py:753-769)."""
+    if "-" in spec:
+        rng, step = spec.split(",")
+        lo, hi = rng.split("-")
+        return list(range(int(lo), int(hi) + 1, int(step)))
+    return [int(x) for x in spec.split(",")]
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", dest="task_name", default="fundus")
+    p.add_argument("--ds", dest="ds_name", default="valid")
+    p.add_argument("--split", default="all")
+    p.add_argument("--dataroot", default="../data")
+    p.add_argument("--net", default="segtran")
+    p.add_argument("--bb", dest="backbone_type", default="eff-b4")
+    p.add_argument("--translayers", dest="num_translayers", type=int,
+                   default=3)
+    p.add_argument("--layercompress", dest="translayer_compress_ratios",
+                   default=None)
+    p.add_argument("--attractors", dest="num_attractors", type=int,
+                   default=256)
+    p.add_argument("--noqkbias", dest="qk_have_bias", action="store_false")
+    p.add_argument("--cpdir", required=True,
+                   help="checkpoint dir containing iter_N")
+    p.add_argument("--iters", default=None,
+                   help='e.g. "7000,8000" or "40-1600,40"')
+    p.add_argument("--bs", dest="batch_size", type=int, default=8)
+    p.add_argument("--origsize", dest="orig_input_size", default=None)
+    p.add_argument("--patchsize", dest="patch_size", default=None)
+    p.add_argument("--stats", dest="stats_json", default=None)
+    p.add_argument("--saveprobs", action="store_true")
+    p.add_argument("--outdir", default=None, help="save predicted masks here")
+    p.add_argument("--vcdr", dest="do_vcdr", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fused", dest="use_fused_attention",
+                   action="store_true")
+    return p
+
+
+def build_model(args, task):
+    from ..configs import Segtran2dConfig
+    from ..models import Segtran2d
+    from ..models.unet2d import VanillaUNet
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.net == "segtran":
+        compress = tuple(
+            float(x) for x in (args.translayer_compress_ratios or
+                               ",".join(["1"] * (args.num_translayers + 1))
+                               ).split(","))
+        cfg = Segtran2dConfig(
+            backbone_type=args.backbone_type,
+            num_classes=task["num_classes"],
+            num_attractors=args.num_attractors,
+            qk_have_bias=args.qk_have_bias,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            use_fused_attention=args.use_fused_attention,
+            dtype=dtype).derive(translayer_compress_ratios=compress)
+        return Segtran2d(cfg), cfg
+    if args.net == "unet-scratch":
+        return VanillaUNet(num_classes=task["num_classes"], dtype=dtype), None
+    raise ValueError(args.net)
+
+
+def evaluate_checkpoint(model, variables, dataset, task, args, logger,
+                        mean, std):
+    num_classes = task["num_classes"]
+    orig = tuple(task["orig_input_size"])
+    patch = tuple(task["patch_size"])
+    mean_a = jnp.asarray(mean)
+    std_a = jnp.asarray(std)
+    gray_alpha = getattr(args, "gray_alpha", 0.5)
+    gray_w = jnp.asarray([0.299, 0.587, 0.114])
+
+    @jax.jit
+    def model_fn(image):
+        gray = jnp.tensordot(image, gray_w, axes=[[-1], [0]])[..., None]
+        x = (1 - gray_alpha) * image + gray_alpha * gray
+        x = (x - mean_a) / std_a
+        return model.apply(variables, x, train=False)
+
+    all_dice = []
+    all_vcdr_err = []
+    saved = []
+    for batch in batch_iterator(dataset, args.batch_size, epoch=0,
+                                shuffle=False, drop_last=False,
+                                keys=("image", "mask", "index")):
+        img = jnp.asarray(batch["image"])
+        probs = sliding_window_2d(model_fn, img, orig, patch,
+                                  num_classes=num_classes)
+        if args.task_name == "fundus":
+            gt = fundus_map_mask(jnp.asarray(batch["mask"]))
+        elif args.task_name == "polyp":
+            gt = polyp_map_mask(jnp.asarray(batch["mask"]))
+        else:
+            gt = index_to_onehot(jnp.asarray(batch["mask"][..., 0]),
+                                 num_classes)
+        hard = harden_segmap(probs)
+        dice = batch_dice_per_class(hard.astype(jnp.float32), gt, num_classes)
+        all_dice.append(np.asarray(dice))
+        if args.do_vcdr and num_classes >= 3:
+            verr = jnp.abs(calc_vcdr_batch(gt) -
+                           calc_vcdr_batch(hard.astype(jnp.float32)))
+            all_vcdr_err.append(np.asarray(verr))
+        if args.outdir:
+            os.makedirs(args.outdir, exist_ok=True)
+            from PIL import Image
+            inv = (fundus_inv_map_mask if args.task_name == "fundus"
+                   else polyp_inv_map_mask)
+            raw = np.asarray(inv(hard))
+            for i, idx in enumerate(np.asarray(batch["index"])):
+                name = os.path.basename(dataset.image_list[int(idx)])
+                out_path = os.path.join(args.outdir, name)
+                Image.fromarray(raw[i]).save(out_path)
+                saved.append(out_path)
+                if args.saveprobs:
+                    np.save(out_path + ".probs.npy",
+                            np.asarray(probs[i], np.float16))
+    dice = np.concatenate(all_dice, 0)
+    cls_dice = dice.mean(0)
+    for c, d in enumerate(cls_dice):
+        logger.info("class %d dice: %.4f", c + 1, d)
+    logger.info("avg dice: %.4f", cls_dice.mean())
+    if all_vcdr_err:
+        logger.info("vCDR error: %.4f",
+                    float(np.concatenate(all_vcdr_err).mean()))
+    if args.outdir and saved:
+        zpath = os.path.join(args.outdir, "pred.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for pth in saved:
+                z.write(pth, os.path.basename(pth))
+        logger.info("zipped %d masks -> %s", len(saved), zpath)
+    return cls_dice
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    task = dict(TASK_SETTINGS[args.task_name])
+    for field, override in (("orig_input_size", args.orig_input_size),
+                            ("patch_size", args.patch_size)):
+        if override:
+            vals = tuple(int(v) for v in str(override).split(","))
+            task[field] = vals * 2 if len(vals) == 1 else vals
+    logger = setup_logging(args.cpdir, "eval_log.txt")
+
+    ds_cls = {"SegCrop": SegCrop, "SegWhole": SegWhole}[task["ds_class"]]
+    dataset = ds_cls(
+        base_dir=os.path.join(args.dataroot, args.task_name, args.ds_name),
+        split=args.split, mask_num_classes=task["num_classes"],
+        binarize=task.get("binarize", False),
+        out_size=task["orig_input_size"])
+    logger.info("%d eval samples", len(dataset))
+
+    from .train2d import load_stats
+    mean, std = load_stats(args, args.ds_name)
+
+    model, cfg = build_model(args, task)
+    example = jnp.zeros((1,) + tuple(task["patch_size"]) + (3,), jnp.float32)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, example)
+
+    iters = parse_iters(args.iters) if args.iters else [None]
+    results = {}
+    for it in iters:
+        if it is not None:
+            path = os.path.join(args.cpdir, f"iter_{it}")
+            payload = load_checkpoint(path, cfg)
+            params_i = merge_params(params, payload.get("params", {}))
+            bstats = merge_params(rest.get("batch_stats", {}),
+                                  payload.get("batch_stats", {}))
+            logger.info("=== iter %d ===", it)
+        else:
+            params_i, bstats = params, rest.get("batch_stats", {})
+        variables = {"params": params_i}
+        if bstats:
+            variables["batch_stats"] = bstats
+        results[it] = evaluate_checkpoint(model, variables, dataset, task,
+                                          args, logger, mean, std)
+    return results
+
+
+if __name__ == "__main__":
+    main()

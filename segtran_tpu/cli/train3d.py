@@ -1,0 +1,224 @@
+"""3D training driver (the reference's code/train3d.py as one jitted graph).
+
+BraTS recipe (reference README.md:23-27):
+  python -m segtran_tpu.cli.train3d --task brats --split all --maxiter 10000 \
+      --translayers 1 --bs 4 --randscale 0.1 --attractors 1024 \
+      --dataroot /path/to/brats_h5
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Segtran3dConfig, Segtran25dConfig
+from ..configs.presets import TASK_SETTINGS
+from ..data.augment import (random_noise_3d, random_resized_crop_3d,
+                            random_rot_flip_3d)
+from ..data.datasets3d import BratsSet, AtriaSet
+from ..data.labelmaps3d import brats_map_label
+from ..data.labelmaps import index_to_onehot
+from ..data.pipeline import batch_iterator, prefetch_to_device
+from ..models.segtran3d import Segtran3d
+from ..models.segtran25d import Segtran25d
+from ..nn.init import init_with_reference_schemes
+from ..ops.resize import resize_linear
+from ..parallel.mesh import (make_mesh, replicate_to_mesh, shard_train_step)
+from ..train.checkpoint import save_checkpoint, load_checkpoint, merge_params
+from ..train.trainer import (build_optimizer, create_train_state,
+                             make_train_step)
+from ..ops.losses import dice_loss_indiv, weighted_bce_with_logits
+from ..utils import AverageMeters, setup_logging
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", dest="task_name", default="brats",
+                   choices=["brats", "atria"])
+    p.add_argument("--ds", dest="ds_name", default="2019train")
+    p.add_argument("--split", default="train", choices=["train", "all"])
+    p.add_argument("--dataroot", default="../data")
+    p.add_argument("--segtran", dest="segtran_type", default="3d",
+                   choices=["3d", "25d"])
+    p.add_argument("--translayers", dest="num_translayers", type=int,
+                   default=1)
+    p.add_argument("--layercompress", dest="translayer_compress_ratios",
+                   default=None)
+    p.add_argument("--attractors", dest="num_attractors", type=int,
+                   default=1024)
+    p.add_argument("--modes", dest="num_modes", type=int, default=4)
+    p.add_argument("--dropout", dest="dropout_prob", type=float, default=0.1)
+    p.add_argument("--noqkbias", dest="qk_have_bias", action="store_false")
+    p.add_argument("--maxiter", type=int, default=10000)
+    p.add_argument("--saveiter", type=int, default=500)
+    p.add_argument("--bs", dest="batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--decay", type=float, default=1e-4)
+    p.add_argument("--gradclip", dest="grad_clip", type=float, default=0.1)
+    p.add_argument("--lrwarmup", dest="lr_warmup_steps", type=int,
+                   default=500)
+    p.add_argument("--diceweight", dest="max_dice_w", type=float, default=0.5)
+    p.add_argument("--randscale", type=float, default=0.1)
+    p.add_argument("--noise", dest="noise_sigma", type=float, default=0.0)
+    p.add_argument("--patchsize", dest="orig_patch_size", default=None,
+                   help="crop size, e.g. 112,112,96")
+    p.add_argument("--inputsize", dest="input_patch_size", default=None)
+    p.add_argument("--cp", dest="checkpoint_path", default=None)
+    p.add_argument("--ckptdir", default="./model")
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--ndevices", type=int, default=-1)
+    p.add_argument("--bf16", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    task = dict(TASK_SETTINGS[args.task_name])
+    for field, override in (("orig_patch_size", args.orig_patch_size),
+                            ("input_patch_size", args.input_patch_size)):
+        if override:
+            task[field] = tuple(int(v) for v in str(override).split(","))
+    job = f"segtran{args.segtran_type}-{args.task_name}-" \
+          f"{time.strftime('%m%d%H%M')}"
+    ckpt_dir = os.path.join(args.ckptdir, job)
+    logger = setup_logging(ckpt_dir)
+    logger.info("args: %s", vars(args))
+
+    ds_cls = BratsSet if args.task_name == "brats" else AtriaSet
+    dataset = ds_cls(
+        base_dir=os.path.join(args.dataroot, args.task_name, args.ds_name),
+        split=args.split, mode="train",
+        crop_size=tuple(task["orig_patch_size"]),
+        binarize=task.get("binarize", False), seed=args.seed)
+    logger.info("%d training volumes", len(dataset))
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    compress = tuple(
+        float(x) for x in (args.translayer_compress_ratios or
+                           ",".join(["1"] * (args.num_translayers + 1))
+                           ).split(","))
+    cfg_cls = Segtran3dConfig if args.segtran_type == "3d" else Segtran25dConfig
+    cfg = cfg_cls(
+        num_classes=task["num_classes"],
+        num_attractors=args.num_attractors,
+        num_modes=args.num_modes,
+        qk_have_bias=args.qk_have_bias,
+        orig_in_channels=task["orig_in_channels"],
+        hidden_dropout_prob=args.dropout_prob,
+        attention_probs_dropout_prob=args.dropout_prob,
+        dtype=dtype,
+    ).derive(translayer_compress_ratios=compress)
+    model = (Segtran3d(cfg) if args.segtran_type == "3d"
+             else Segtran25d(cfg))
+
+    input_size = tuple(task["input_patch_size"])
+    num_classes = task["num_classes"]
+    bce_weight = jnp.asarray(task["bce_weight"], jnp.float32).reshape(
+        (1, 1, 1, 1, num_classes))
+    class_weights = jnp.ones(num_classes).at[0].set(0.0)
+    class_weights = class_weights / class_weights.sum()
+    binarize = task.get("binarize", False)
+    dice_w = args.max_dice_w
+    randscale = args.randscale
+    noise_sigma = args.noise_sigma
+    is_brats = args.task_name == "brats"
+
+    def loss_fn(logits, mask):
+        if logits.shape[1:4] != mask.shape[1:4]:
+            logits = resize_linear(logits, mask.shape[1:4])
+        probs = jax.nn.sigmoid(logits)
+        ce = weighted_bce_with_logits(logits, mask, bce_weight)
+        dice_total = 0.0
+        metrics = {}
+        for cls in range(1, num_classes):
+            d = dice_loss_indiv(probs[..., cls], mask[..., cls])
+            metrics[f"dice_loss_cls{cls}"] = d
+            dice_total = dice_total + d * class_weights[cls]
+        loss = (1 - dice_w) * ce + dice_w * dice_total
+        metrics.update(loss=loss, ce_loss=ce, dice_loss=dice_total)
+        return loss, metrics
+
+    warmup_ratio = min(args.lr_warmup_steps, args.maxiter // 2) / args.maxiter
+    tx = build_optimizer(lr=args.lr, decay=args.decay, t_total=args.maxiter,
+                         warmup_ratio=warmup_ratio, grad_clip=args.grad_clip)
+    base_step = make_train_step(model, tx, loss_fn)
+
+    def step(state, batch):
+        rng = jax.random.fold_in(state.rng, state.step + 31)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        image = batch["image"]
+        if is_brats:
+            mask = brats_map_label(batch["label"], binarize)
+        else:
+            mask = index_to_onehot(batch["label"], num_classes)
+        # per-sample rot/flip (reference compose, train3d.py:573-578)
+        keys = jax.random.split(k1, image.shape[0])
+        image, label_rf = jax.vmap(random_rot_flip_3d)(
+            keys, image, batch["label"])
+        if is_brats:
+            mask = brats_map_label(label_rf, binarize)
+        else:
+            mask = index_to_onehot(label_rf, num_classes)
+        if randscale > 0:
+            image, mask = random_resized_crop_3d(k2, image, mask, randscale)
+        if noise_sigma > 0:
+            image = random_noise_3d(k3, image, noise_sigma)
+        if image.shape[1:4] != input_size:
+            image = resize_linear(image, input_size)
+        return base_step(state, {"image": image, "mask": mask})
+
+    example = jnp.zeros((1,) + input_size + (task["orig_in_channels"],),
+                        jnp.float32)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(args.seed)}, example)
+    batch_stats = rest.get("batch_stats", {})
+    if args.checkpoint_path:
+        payload = load_checkpoint(args.checkpoint_path, cfg)
+        params = merge_params(params, payload.get("params", {}))
+        if payload.get("batch_stats"):
+            batch_stats = merge_params(batch_stats, payload["batch_stats"])
+        logger.info("loaded checkpoint %s", args.checkpoint_path)
+    state = create_train_state(params, batch_stats, tx,
+                               jax.random.PRNGKey(args.seed + 1))
+
+    n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sharded_step = shard_train_step(step, mesh, donate_state=True)
+    state = replicate_to_mesh(state, mesh)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    batch_sharding = NamedSharding(mesh, P("data"))
+    meters = AverageMeters()
+    iter_num, epoch, t0 = 0, 0, time.time()
+    while iter_num < args.maxiter:
+        it = batch_iterator(dataset, args.batch_size, epoch, seed=args.seed,
+                            keys=("image", "label"))
+        for batch in prefetch_to_device(it, sharding=batch_sharding):
+            state, metrics = sharded_step(state, batch)
+            iter_num += 1
+            for k, v in metrics.items():
+                meters.update(k, float(v))
+            if iter_num % 50 == 0:
+                logger.info("iter %d (%.2f it/s): %s", iter_num,
+                            iter_num / (time.time() - t0),
+                            meters.disp_str(("loss", "ce_loss", "dice_loss")))
+                meters.reset_disp()
+            if iter_num % args.saveiter == 0 or iter_num >= args.maxiter:
+                host = jax.device_get(state)
+                save_checkpoint(ckpt_dir, iter_num, host.params,
+                                host.batch_stats, cfg=cfg)
+                logger.info("saved iter_%d", iter_num)
+            if iter_num >= args.maxiter:
+                break
+        epoch += 1
+    logger.info("done: %d iters in %.1fs", iter_num, time.time() - t0)
+    return ckpt_dir
+
+
+if __name__ == "__main__":
+    main()

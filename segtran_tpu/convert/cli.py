@@ -1,0 +1,149 @@
+"""Import a reference .pth checkpoint into this framework's orbax format.
+
+The reference saves {'iter_num', 'model': state_dict, 'args': vars(args)}
+(reference train2d.py:640-648). This CLI reads the .pth (torch, CPU), derives
+the model config from the embedded args, converts the state_dict with the
+generic torch->flax mapper, validates it against a freshly-initialized model,
+and writes an orbax checkpoint + config sidecar that cli/test2d.py /
+cli/test3d.py consume. This is the path to Dice parity with the released
+REFUGE / BraTS weights.
+
+Usage:
+  python -m segtran_tpu.convert.cli --pth iter_5000.pth --out ./converted \
+      [--model segtran2d|segtran3d|segtran25d|unet2d]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def config_from_pth_args(pth_args: dict, model_kind: str):
+    from ..configs import (Segtran2dConfig, Segtran3dConfig, Segtran25dConfig)
+    get = pth_args.get
+    common = dict(
+        num_classes=get("num_classes", 2),
+        num_attractors=get("num_attractors", 256),
+        num_modes=get("num_modes", 4) if get("num_modes", 4) not in (-1, None)
+        else 4,
+        qk_have_bias=get("qk_have_bias", True),
+        use_squeezed_transformer=get("use_squeezed_transformer", True),
+        pos_code_type=get("pos_code_type", "lsinu"),
+        ablate_multihead=get("ablate_multihead", False),
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    compress = tuple(float(x) for x in get(
+        "translayer_compress_ratios",
+        [1.0] * (get("num_translayers", 1) + 1)))
+    in_layers = tuple(int(c) for c in str(get("in_fpn_layers", "34")))
+    out_layers = tuple(int(c) for c in str(get("out_fpn_layers", "1234")))
+    if model_kind == "segtran2d":
+        cfg = Segtran2dConfig(
+            backbone_type=get("backbone_type", "eff-b4"),
+            in_fpn_layers=in_layers, out_fpn_layers=out_layers, **common)
+    elif model_kind == "segtran3d":
+        cfg = Segtran3dConfig(
+            orig_in_channels=get("orig_in_channels", 4),
+            inchan_to3_scheme=get("inchan_to3_scheme", "bridgeconv"),
+            D_pool_K=get("D_pool_K", 2),
+            out_fpn_upsampleD_scheme=get("out_fpn_upsampleD_scheme",
+                                         "interp"),
+            in_fpn_layers=in_layers, out_fpn_layers=out_layers, **common)
+    elif model_kind == "segtran25d":
+        cfg = Segtran25dConfig(
+            backbone_type=get("backbone_type", "eff-b3"),
+            orig_in_channels=get("orig_in_channels", 4),
+            inchan_to3_scheme=get("inchan_to3_scheme", "stemconv"),
+            D_pool_K=get("D_pool_K", 2),
+            out_fpn_upsampleD_scheme=get("out_fpn_upsampleD_scheme", "conv"),
+            in_fpn_layers=in_layers, out_fpn_layers=out_layers, **common)
+    else:
+        return None
+    return cfg.derive(translayer_compress_ratios=compress)
+
+
+def example_input_for(model_kind: str, cfg, pth_args: dict):
+    if model_kind == "segtran2d" or model_kind == "unet2d":
+        ps = pth_args.get("patch_size", (288, 288))
+        if isinstance(ps, int):
+            ps = (ps, ps)
+        return jnp.zeros((1,) + tuple(ps) + (3,), jnp.float32)
+    ps = pth_args.get("input_patch_size", (112, 112, 96))
+    c = pth_args.get("orig_in_channels", 4)
+    return jnp.zeros((1,) + tuple(ps) + (c,), jnp.float32)
+
+
+def convert_pth(pth_path: str, out_dir: str, model_kind: str = "segtran2d",
+                strict: bool = False):
+    import torch
+    from .torch_import import convert_state_dict, assign_converted
+    from ..nn.init import init_with_reference_schemes
+    from ..train.checkpoint import save_checkpoint
+
+    ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    pth_args = ckpt.get("args", {})
+    iter_num = ckpt.get("iter_num", 0)
+    sd_np = {k: v.numpy() for k, v in sd.items()
+             if hasattr(v, "numpy")}
+    # discard DA heads the eval model doesn't own (reference test2d.py:671-674)
+    sd_np = {k: v for k, v in sd_np.items()
+             if not k.startswith(("discriminator.", "recon."))}
+    # legacy key rename (reference test2d.py:506-510)
+    sd_np = {k.replace("out_bridgeconv", "out_fpn_bridgeconv"): v
+             for k, v in sd_np.items()}
+
+    tie_shared = pth_args.get("tie_qk_scheme", "shared") == "shared"
+    conv_params, conv_stats = convert_state_dict(sd_np,
+                                                 tie_qk_shared=tie_shared)
+
+    cfg = config_from_pth_args(pth_args, model_kind)
+    if model_kind == "segtran2d":
+        from ..models import Segtran2d
+        model = Segtran2d(cfg)
+    elif model_kind == "segtran3d":
+        from ..models.segtran3d import Segtran3d
+        model = Segtran3d(cfg)
+    elif model_kind == "segtran25d":
+        from ..models.segtran25d import Segtran25d
+        model = Segtran25d(cfg)
+    elif model_kind == "unet2d":
+        from ..models.unet2d import VanillaUNet
+        poly = pth_args.get("polyformer_mode")
+        model = VanillaUNet(num_classes=pth_args.get("num_classes", 3),
+                            polyformer_mode=poly,
+                            num_attractors=pth_args.get("num_attractors",
+                                                        256))
+    else:
+        raise ValueError(model_kind)
+
+    example = example_input_for(model_kind, cfg, pth_args)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, example)
+    params = assign_converted(params, conv_params, strict=strict)
+    batch_stats = assign_converted(rest.get("batch_stats", {}), conv_stats,
+                                   strict=strict)
+    path = save_checkpoint(out_dir, iter_num, params, batch_stats, cfg=cfg)
+    n = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(params))
+    print(f"converted {pth_path} -> {path} ({n/1e6:.1f}M params, "
+          f"iter {iter_num})")
+    return path, cfg
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pth", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--model", default="segtran2d",
+                   choices=["segtran2d", "segtran3d", "segtran25d", "unet2d"])
+    p.add_argument("--strict", action="store_true")
+    args = p.parse_args(argv)
+    convert_pth(args.pth, args.out, args.model, args.strict)
+
+
+if __name__ == "__main__":
+    main()
