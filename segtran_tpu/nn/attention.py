@@ -387,35 +387,58 @@ class CrossAttFeatTrans(nn.Module):
 
 
 class MultiHeadFeatTrans(nn.Module):
-    """Ablation: standard multi-head output instead of the expansion block --
-    V projected to in_feat_dim split over heads, concatenated, then the shared
-    MM FFN (reference segtran_ablation.py MultiHeadFeatTrans)."""
+    """Ablation: standard multi-head attention output instead of the
+    expansion block (reference segtran_ablation.py:182-253): V projected to
+    feat_dim split over num_modes heads, fused per head, heads concatenated
+    (channel order = (head, dim)), then ONE-mode MM mid/output blocks
+    honoring mid_type / trans_output_type (incl. the private-output
+    dropped-residual quirk)."""
     spec: TransLayerSpec
 
     @nn.compact
     def __call__(self, input_feat: jnp.ndarray, attention_probs: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         s = self.spec
+        if self.is_initializing():
+            self.sow("site_meta", "expansion", jnp.array(
+                [1, s.in_feat_dim, s.feat_dim,
+                 s.feattrans_lin1_idbias_scale, s.base_initializer_range],
+                dtype=jnp.float32))
         b, u2, _ = input_feat.shape
         m = s.num_modes
         head_dim = s.feat_dim // m
-        v = nn.Dense(s.feat_dim, use_bias=s.v_has_bias,
+        v = nn.Dense(head_dim * m, use_bias=True,
                      kernel_init=_normal(s.base_initializer_range),
                      bias_init=nn.initializers.zeros, dtype=s.dtype,
                      name="first_linear")(input_feat)
         v = v.reshape(b, u2, m, head_dim).transpose(0, 2, 1, 3)
         fused = jnp.einsum("bmqk,bmkf->bmqf", attention_probs, v,
                            preferred_element_type=s.dtype)
-        # Concat heads back: [B, M, U1, hd] -> [B, U1, M*hd = feat_dim]
+        # Concat heads back: [B, M, U1, hd] -> [B, 1, U1, M*hd = feat_dim]
         u1 = fused.shape[2]
-        fused = fused.transpose(0, 2, 1, 3).reshape(b, u1, s.feat_dim)
-        mid = MMSharedMid(1, s.feat_dim, s.hidden_dropout_prob, dtype=s.dtype,
-                          name="intermediate")(fused, deterministic=deterministic)
-        out = MMSharedOutput(1, s.feat_dim, s.hidden_dropout_prob,
-                             ln_eps=s.ln_eps, dtype=s.dtype,
-                             name="output")(mid, fused,
-                                            deterministic=deterministic)
-        return out
+        fused = fused.transpose(0, 2, 1, 3).reshape(b, 1, u1, s.feat_dim)
+        if s.mid_type == "shared":
+            mid = MMSharedMid(1, s.feat_dim, s.hidden_dropout_prob,
+                              dtype=s.dtype, name="intermediate")(
+                fused, deterministic=deterministic)
+        elif s.mid_type == "private":
+            mid = MMPrivateMid(1, s.feat_dim, s.hidden_dropout_prob,
+                               dtype=s.dtype, name="intermediate")(
+                fused, deterministic=deterministic)
+        else:
+            mid = _gelu_exact(fused)
+        if s.trans_output_type == "shared":
+            out = MMSharedOutput(1, s.feat_dim, s.hidden_dropout_prob,
+                                 ln_eps=s.ln_eps, dtype=s.dtype,
+                                 name="output")(mid, fused,
+                                                deterministic=deterministic)
+        else:
+            out = MMPrivateOutput(1, s.feat_dim, s.hidden_dropout_prob,
+                                  fix_residual=s.fix_private_output_residual,
+                                  ln_eps=s.ln_eps, dtype=s.dtype,
+                                  name="output")(mid, fused,
+                                                 deterministic=deterministic)
+        return out[:, 0]  # squeeze the single mode
 
 
 class SqueezedAttFeatTrans(nn.Module):

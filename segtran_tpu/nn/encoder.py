@@ -114,6 +114,30 @@ class SegtranFusionEncoder(nn.Module):
                     name=f"translayers_{i}")
                 vfeat = layer(feat_masked, pos_biases=pos_biases,
                               deterministic=deterministic)
+            elif cfg.use_mince_transformer:
+                from .mince import CrossMinceAttFeatTrans, scaled_shape
+                mince_pos = None
+                if pos_is_bias:
+                    # per-scale bias layers (reference
+                    # segtran_shared.py:856-861, 917-923)
+                    mince_pos = []
+                    for si, sc in enumerate(cfg.mince_scales):
+                        sub = SegtranPosEncoder(
+                            pos_code_type="bias", pos_dim=cfg.pos_dim,
+                            pos_embed_dim=cfg.trans_in_dim,
+                            pos_bias_radius=cfg.pos_bias_radius,
+                            ln_eps=cfg.ln_eps, dtype=cfg.dtype,
+                            name=f"pos_code_layers_{si}")
+                        mince_pos.append(
+                            sub(scaled_shape(spatial_shape, sc), voxels_pos))
+                layer = CrossMinceAttFeatTrans(
+                    spec, mince_scales=cfg.mince_scales,
+                    mince_channel_props=cfg.mince_channel_props,
+                    keep_attn_scores=cfg.use_attn_consist_loss,
+                    name=f"translayers_{i}")
+                vfeat = layer(feat_masked, spatial_shape,
+                              pos_biases=mince_pos,
+                              deterministic=deterministic)
             else:
                 layer = CrossAttFeatTrans(
                     spec, keep_attn_scores=cfg.use_attn_consist_loss,
