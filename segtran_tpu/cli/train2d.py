@@ -87,6 +87,19 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="dataset mean/std JSON (reference format)")
     p.add_argument("--polyformer", dest="polyformer_mode", default=None,
                    choices=[None, "source", "target"])
+    p.add_argument("--adv", dest="adversarial_mode", default=None,
+                   choices=[None, "feat", "mask"],
+                   help="adversarial DA on features or predicted masks")
+    p.add_argument("--sourceds", dest="source_ds_name", default="train",
+                   help="source-domain dataset for adversarial DA")
+    p.add_argument("--domweight", dest="domain_loss_w", type=float,
+                   default=0.002)
+    p.add_argument("--reconweight", dest="recon_w", type=float, default=0.0)
+    p.add_argument("--attnconsist", dest="use_attn_consist_loss",
+                   action="store_true")
+    p.add_argument("--attnconsistweight", dest="attn_consist_w", type=float,
+                   default=0.01)
+    p.add_argument("--vcdrweight", dest="vcdr_w", type=float, default=0.0)
     p.add_argument("--sourceopt", dest="poly_source_opt", default="allpoly")
     p.add_argument("--targetopt", dest="poly_target_opt", default="k")
     p.add_argument("--sample", dest="sample_num", type=int, default=-1,
@@ -152,14 +165,26 @@ def build_model_and_config(args, task):
     raise ValueError(f"net {args.net} is not wired into the 2D trainer yet")
 
 
-def make_full_step(model, tx, task, args, aug_cfg, patch_size):
+def make_full_step(model, tx, task, args, aug_cfg, patch_size,
+                   disc_model=None, recon_model=None):
     """Train step over RAW batches: on-device label map -> augment ->
-    downscale to patch_size -> model -> loss."""
+    downscale to patch_size -> model -> loss [+ attention consistency,
+    reconstruction, domain-adversarial losses -- reference
+    train2d.py:1228-1318].
+
+    With DA/recon, state.params is {'net', 'discriminator'?, 'recon'?} and
+    state.batch_stats mirrors that split.
+    """
+    import optax
+    from ..train.da import (attention_consistency_loss,
+                            domain_adversarial_loss)
     loss_fn = make_loss_fn(task["num_classes"], task["bce_weight"],
                            dice_w=args.max_dice_w,
                            focus_class=args.focus_class)
-    base_step = make_train_step(model, tx, loss_fn)
     task_name = args.task_name
+    has_aux = disc_model is not None or recon_model is not None
+    need_inter = (has_aux and args.adversarial_mode == "feat") \
+        or args.use_attn_consist_loss or recon_model is not None
 
     def map_mask(raw_mask):
         if task_name == "fundus":
@@ -168,12 +193,126 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size):
             return polyp_map_mask(raw_mask)
         return index_to_onehot(raw_mask[..., 0], task["num_classes"])
 
+    def _da_feature(inter):
+        """The reference's net.feature_maps[-1]."""
+        t = inter.get("intermediates", inter)
+        if "pre_outc_feat" in t:
+            return t["pre_outc_feat"][0]
+        vf = t.get("voxel_fusion", {})
+        layer_keys = sorted(k for k in vf if k.startswith("layer_")
+                            and k.endswith("_vfeat"))
+        if layer_keys:
+            feat = vf[layer_keys[-1]][0]   # [B, N, C]
+            n = feat.shape[1]
+            side = int(n ** 0.5)
+            return feat.reshape(feat.shape[0], side, n // side, -1)
+        return t["in_fpn_feat"][0]
+
+    def _attn_scores(inter):
+        vf = inter.get("intermediates", inter).get("voxel_fusion", {})
+        layers = []
+        for k in sorted(k for k in vf if k.startswith("translayers_")):
+            node = vf[k]
+            if "in_ator_trans" in node:
+                # squeezed: mean over modes replaces the reference's learned
+                # 1x1 mode-pooling convs (segtran_shared.py:896-905)
+                in_s = node["in_ator_trans"]["attention_scores"][0]
+                out_s = node["ator_out_trans"]["attention_scores"][0]
+                layers.append((in_s.mean(1, keepdims=True),
+                               out_s.mean(1, keepdims=True)))
+            elif "attention_scores" in node:
+                layers.append(node["attention_scores"][0]
+                              .mean(1, keepdims=True))
+        return layers
+
+    def run_net(params, bstats, image, drng):
+        variables = {"params": params}
+        if bstats is not None:
+            variables["batch_stats"] = bstats
+        mutable = ["batch_stats"]
+        if need_inter:
+            mutable.append("intermediates")
+        out, mstate = model.apply(variables, image, train=True,
+                                  rngs={"dropout": drng}, mutable=mutable)
+        return out, mstate.get("batch_stats", {}), mstate
+
     def step(state, batch):
         rng = jax.random.fold_in(state.rng, state.step + 77)
         mask = map_mask(batch["mask"])
         image, mask = augment_batch_2d(rng, batch["image"], mask, aug_cfg)
         image_small = resize_linear(image, patch_size)
-        return base_step(state, {"image": image_small, "mask": mask})
+        drng = jax.random.fold_in(rng, 1)
+        if "source_image" in batch and disc_model is not None:
+            src_aug, _ = augment_batch_2d(
+                jax.random.fold_in(rng, 3), batch["source_image"],
+                jnp.zeros(batch["source_image"].shape[:3] + (1,)), aug_cfg)
+            batch = dict(batch, source_image=src_aug)
+
+        def compute_loss(params):
+            net_params = params["net"] if has_aux else params
+            net_bstats = (state.batch_stats.get("net")
+                          if has_aux else state.batch_stats)
+            logits, new_bstats, mstate = run_net(net_params, net_bstats,
+                                                 image_small, drng)
+            loss, metrics = loss_fn(logits, mask)
+            all_bstats = new_bstats
+            if args.use_attn_consist_loss:
+                scores = _attn_scores(mstate)
+                if scores:
+                    feat_n = scores[-1][1].shape[-2] if isinstance(
+                        scores[-1], tuple) else scores[-1].shape[-1]
+                    side = int(feat_n ** 0.5)
+                    ac = attention_consistency_loss(
+                        scores, mask, (side, feat_n // side))
+                    loss = loss + args.attn_consist_w * ac
+                    metrics["attn_consist_loss"] = ac
+            if has_aux:
+                all_bstats = {"net": new_bstats}
+                feat_t = _da_feature(mstate)
+                if recon_model is not None:
+                    reconed = recon_model.apply(
+                        {"params": params["recon"]}, feat_t)
+                    reconed = resize_linear(reconed.astype(jnp.float32),
+                                            image_small.shape[1:3])
+                    rl = jnp.mean((reconed - image_small) ** 2)
+                    loss = loss + args.recon_w * rl
+                    metrics["recon_loss"] = rl
+                if disc_model is not None:
+                    src_img = resize_linear(batch["source_image"],
+                                            patch_size)
+                    src_logits, src_bstats, s_mstate = run_net(
+                        net_params, net_bstats, src_img,
+                        jax.random.fold_in(rng, 2))
+                    if args.adversarial_mode == "feat":
+                        feat_s = _da_feature(s_mstate)
+                    else:  # 'mask'
+                        feat_s = jax.nn.sigmoid(src_logits)
+                        feat_t = jax.nn.sigmoid(logits)
+
+                    def disc_apply(v):
+                        out, dstats = disc_model.apply(
+                            {"params": params["discriminator"],
+                             "batch_stats":
+                                 state.batch_stats.get("discriminator", {})},
+                            v, train=True, mutable=["batch_stats"])
+                        disc_apply.dstats = dstats["batch_stats"]
+                        return out
+
+                    dl = domain_adversarial_loss(disc_apply, feat_s, feat_t)
+                    loss = loss + args.domain_loss_w * dl
+                    metrics["domain_loss"] = dl
+                    all_bstats["discriminator"] = disc_apply.dstats
+            metrics["loss"] = loss
+            return loss, (metrics, all_bstats)
+
+        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+        (_, (metrics, new_bstats)), grads = grad_fn(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_bstats,
+                             opt_state=new_opt_state), metrics
 
     return step
 
@@ -249,6 +388,50 @@ def main(argv=None):
         tx = build_optimizer(lr=lr, decay=decay, t_total=args.maxiter,
                              warmup_ratio=warmup_ratio, grad_clip=grad_clip)
 
+    # ---- auxiliary DA modules (reference train2d.py:884-932) ----
+    disc_model = recon_model = None
+    source_dataset = None
+    if args.adversarial_mode or args.recon_w > 0:
+        import flax.linen as fnn
+        if args.net == "unet-scratch":
+            feat_ch = 64
+        elif args.net == "segtran":
+            feat_ch = cfg.trans_out_dim
+        else:
+            feat_ch = task["num_classes"]
+        if args.adversarial_mode == "mask":
+            feat_ch = task["num_classes"]
+        if args.adversarial_mode:
+            from ..models.discriminator import Discriminator
+            disc_model = Discriminator(num_classes=1, do_revgrad=True)
+            d_params, d_rest = init_with_reference_schemes(
+                disc_model, {"params": jax.random.PRNGKey(args.seed + 7)},
+                jnp.zeros((1, 64, 64, feat_ch), jnp.float32))
+            source_dataset = ds_cls(
+                base_dir=os.path.join(args.dataroot, args.task_name,
+                                      args.source_ds_name),
+                split="all", mask_num_classes=task["num_classes"],
+                binarize=task.get("binarize", False),
+                out_size=task["orig_input_size"], seed=args.seed)
+            logger.info("%d source-domain samples for adversarial DA",
+                        len(source_dataset))
+        if args.recon_w > 0:
+            class ReconHead(fnn.Module):
+                @fnn.compact
+                def __call__(self, x):
+                    return fnn.Conv(3, (1, 1), name="conv")(x)
+            recon_model = ReconHead()
+            r_params = recon_model.init(
+                jax.random.PRNGKey(args.seed + 8),
+                jnp.zeros((1, 8, 8, feat_ch), jnp.float32))["params"]
+        params = {"net": params}
+        batch_stats = {"net": batch_stats}
+        if disc_model is not None:
+            params["discriminator"] = d_params
+            batch_stats["discriminator"] = d_rest.get("batch_stats", {})
+        if recon_model is not None:
+            params["recon"] = r_params
+
     state = create_train_state(params, batch_stats, tx,
                                jax.random.PRNGKey(args.seed + 1))
 
@@ -256,7 +439,8 @@ def main(argv=None):
     n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
     mesh = make_mesh(n_dev)
     step_fn = make_full_step(model, tx, task, args, aug_cfg,
-                             tuple(task["patch_size"]))
+                             tuple(task["patch_size"]),
+                             disc_model=disc_model, recon_model=recon_model)
     sharded_step = shard_train_step(step_fn, mesh, donate_state=True)
     state = replicate_to_mesh(state, mesh)
     logger.info("mesh: %s devices, global batch %d", n_dev, args.batch_size)
@@ -274,9 +458,31 @@ def main(argv=None):
     from jax.sharding import NamedSharding, PartitionSpec as P
     batch_sharding = NamedSharding(mesh, P("data"))
     t0 = time.time()
+    def with_source(it):
+        """Attach source-domain images for adversarial DA (reference's second
+        DataLoader, train2d.py:884-918)."""
+        if source_dataset is None:
+            yield from it
+            return
+        src_epoch = 0
+        src_it = batch_iterator(source_dataset, args.batch_size, src_epoch,
+                                seed=args.seed + 5, keys=("image",))
+        for batch in it:
+            try:
+                src = next(src_it)
+            except StopIteration:
+                src_epoch += 1
+                src_it = batch_iterator(source_dataset, args.batch_size,
+                                        src_epoch, seed=args.seed + 5,
+                                        keys=("image",))
+                src = next(src_it)
+            batch["source_image"] = src["image"]
+            yield batch
+
     while iter_num < args.maxiter:
-        it = batch_iterator(dataset, args.batch_size, epoch, seed=args.seed,
-                            keys=("image", "mask"))
+        it = with_source(batch_iterator(dataset, args.batch_size, epoch,
+                                        seed=args.seed,
+                                        keys=("image", "mask")))
         for batch in prefetch_to_device(it, sharding=batch_sharding):
             state, metrics = sharded_step(state, batch)
             iter_num += 1

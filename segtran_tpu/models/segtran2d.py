@@ -121,7 +121,8 @@ class Segtran2d(nn.Module):
 
         # ---- fusion transformer ----
         if not cfg.use_global_bias:
-            vfeat_fused = SegtranFusionEncoder(cfg, name="voxel_fusion")(
+            vfeat_fused = SegtranFusionEncoder(
+                cfg, keep_layer_outputs=True, name="voxel_fusion")(
                 vfeat_fpn, voxels_pos, vmask[..., None].astype(dt), (h2, w2),
                 deterministic=not train)
         else:

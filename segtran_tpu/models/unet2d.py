@@ -120,5 +120,7 @@ class VanillaUNet(nn.Module):
                            num_modes=self.num_modes, tie_qk_scheme=tie,
                            dtype=self.dtype,
                            name="polyformer")(y, deterministic=not train)
+        # the reference's feature_maps[-1] used by DA / recon heads
+        self.sow("intermediates", "pre_outc_feat", y)
         logits = OutConv(self.num_classes, dtype=self.dtype, name="outc")(y)
         return logits.astype(jnp.float32)

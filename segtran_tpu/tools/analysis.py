@@ -1,0 +1,112 @@
+"""Analysis tooling: t-SNE of per-pixel features, effective receptive fields,
+dataset statistics, vCDR CSV evaluation.
+
+Parity targets:
+  * t-SNE of saved per-pixel features        -> reference code/tsne.py
+  * receptive-field visualization            -> reference internal_util.py:21-58
+    + code/receptivefield/ (gradient-based ERF; here one jax.grad call
+    replaces the vendored 1222-LoC probe library)
+  * dataset mean/std -> stats JSON           -> reference code/calcstat.py
+  * vCDR CSV eval                            -> reference code/test-vcdr.py
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dump_pixel_features(feat: np.ndarray, mask: np.ndarray, out_path: str,
+                        max_pixels: int = 20000, seed: int = 0):
+    """Save per-pixel (feature, label) pairs for t-SNE (the reference's
+    --savefeat dump, test_util2d.py:78-88): feat [H, W, C], mask [H, W]."""
+    f = feat.reshape(-1, feat.shape[-1])
+    m = mask.reshape(-1)
+    rng = np.random.RandomState(seed)
+    if f.shape[0] > max_pixels:
+        idx = rng.choice(f.shape[0], max_pixels, replace=False)
+        f, m = f[idx], m[idx]
+    np.savez_compressed(out_path, features=f.astype(np.float16), labels=m)
+
+
+def tsne_features(npz_path: str, perplexity: float = 30.0, seed: int = 0):
+    """2D t-SNE embedding of a feature dump; returns (embedding, labels)."""
+    data = np.load(npz_path)
+    feats, labels = data["features"].astype(np.float32), data["labels"]
+    try:
+        from sklearn.manifold import TSNE
+        emb = TSNE(n_components=2, perplexity=perplexity,
+                   random_state=seed).fit_transform(feats)
+    except ImportError:
+        from numpy.linalg import svd
+        c = feats - feats.mean(0)
+        u, s, _ = svd(c, full_matrices=False)
+        emb = u[:, :2] * s[:2]
+    return emb, labels
+
+
+def effective_receptive_field(model, variables, input_shape,
+                              layer: Optional[str] = None) -> np.ndarray:
+    """Gradient-based ERF: d(center output activation)/d(input), averaged over
+    channels. One jax.grad call on the jitted model."""
+    # random probe input: an all-zero input can die at the first ReLU
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (1,) + tuple(input_shape)) * 0.5
+
+    def probe(inp):
+        out = model.apply(variables, inp, train=False)
+        h, w = out.shape[1] // 2, out.shape[2] // 2
+        return jnp.sum(out[0, h, w])
+
+    g = jax.grad(probe)(x)
+    return np.abs(np.asarray(g[0])).mean(-1)
+
+
+def compute_dataset_stats(dataset, sample_limit: int = 500) -> Dict:
+    """Per-dataset channel mean/std over images in [0,1] (reference
+    calcstat.py:42-73). Returns {'mean': [...], 'std': [...]}."""
+    s = np.zeros(3)
+    s2 = np.zeros(3)
+    n = 0
+    for i in range(min(len(dataset), sample_limit)):
+        img = np.asarray(dataset[i]["image"], np.float64)
+        s += img.reshape(-1, img.shape[-1]).sum(0)
+        s2 += (img ** 2).reshape(-1, img.shape[-1]).sum(0)
+        n += img.shape[0] * img.shape[1]
+    mean = s / n
+    std = np.sqrt(np.maximum(s2 / n - mean ** 2, 0))
+    return {"mean": [round(float(v), 4) for v in mean],
+            "std": [round(float(v), 4) for v in std]}
+
+
+def write_stats_json(stats_by_ds: Dict[str, Dict], out_path: str):
+    """Write the reference's stats-JSON format ({'mean': {ds: [...]}, ...})."""
+    out = {"mean": {k: v["mean"] for k, v in stats_by_ds.items()},
+           "std": {k: v["std"] for k, v in stats_by_ds.items()}}
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=4)
+
+
+def vcdr_csv_eval(pred_csv: str, gt_csv: str) -> Dict[str, float]:
+    """Mean absolute vCDR error between two CSVs of `name,vcdr` rows
+    (reference test-vcdr.py)."""
+    def read(p):
+        out = {}
+        with open(p) as f:
+            for ln in f:
+                parts = ln.strip().split(",")
+                if len(parts) >= 2:
+                    try:
+                        out[parts[0]] = float(parts[1])
+                    except ValueError:
+                        continue
+        return out
+    pred, gt = read(pred_csv), read(gt_csv)
+    common = sorted(set(pred) & set(gt))
+    errs = [abs(pred[k] - gt[k]) for k in common]
+    return {"mae": float(np.mean(errs)) if errs else float("nan"),
+            "n": len(common)}

@@ -1,0 +1,103 @@
+"""Auxiliary training losses: attention consistency, reconstruction, domain
+adversarial (RevGrad / ADDA), vCDR estimation.
+
+Parity targets in the reference:
+  * attention-consistency loss  -> train2d.py:668-723 (margin-thresholded
+    deviation from the mean score on (in)consistent pixel pairs; squeezed
+    layers combine in/out scores by matmul after 1x1 mode-pooling convs,
+    segtran_shared.py:896-905)
+  * reconstruction loss         -> train2d.py:923-926, 1253-1257 (1x1 conv
+    head on the last feature map + MSE to the input)
+  * domain adversarial loss     -> train2d.py:1259-1286 (discriminator on
+    features or predicted masks; RevGrad folds the minimax into one step,
+    ADDA alternates)
+  * vCDR estimation losses      -> train2d.py:1288-1312
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.losses import weighted_bce_with_logits
+from ..ops.resize import resize_linear
+
+
+def attention_consistency_loss(layers_attn_scores: Sequence,
+                               mask: jnp.ndarray,
+                               feat_shape: Sequence[int],
+                               only_first_layer: bool = False) -> jnp.ndarray:
+    """layers_attn_scores: per layer either a single [B, 1, N, N] score matrix
+    or a (in_scores [B,1,A,N], out_scores [B,1,N,A]) pair (squeezed, already
+    mode-pooled). mask: [B, H, W, C] n-hot ground truth."""
+    resized = resize_linear(mask, feat_shape)
+    b, c = resized.shape[0], resized.shape[-1]
+    flat = resized.reshape(b, -1, c)                     # [B, N, C]
+    consistency = jnp.einsum("bnc,bmc->bnm", flat, flat)
+    consistency = jnp.clip(consistency, 0.0, 1.0) > 0.5
+
+    n_layers = 1 if only_first_layer else len(layers_attn_scores)
+    total = 0.0
+    for scores in layers_attn_scores[:n_layers]:
+        if isinstance(scores, (tuple, list)):
+            # squeezed layer: combine out (N<-A) and in (A<-N) scores into an
+            # N x N matrix (reference train2d.py:693-697)
+            in_s, out_s = scores
+            scores = jnp.matmul(out_s, in_s)[:, 0]
+        else:
+            scores = scores[:, 0]
+        mean_score = scores.mean(axis=(1, 2), keepdims=True)
+        margin = 0.1
+        below = scores < mean_score
+        above = scores > (mean_score - margin)
+        inconsistent = (below & consistency) | (above & ~consistency)
+        dev = jnp.abs(scores - mean_score)
+        cnt = jnp.sum(inconsistent) + 1e-6
+        total = total + jnp.sum(dev * inconsistent) / cnt
+    loss = total / n_layers
+    # Cap at 1 with a detached denominator (reference train2d.py:721-722)
+    return jnp.where(loss > 1.0,
+                     loss / jnp.maximum(jax.lax.stop_gradient(loss), 1.0),
+                     loss)
+
+
+def recon_loss(recon_head_apply, feature_map: jnp.ndarray,
+               image: jnp.ndarray) -> jnp.ndarray:
+    """MSE between the input image and a reconstruction from the last feature
+    map (reference train2d.py:1253-1257)."""
+    reconed = recon_head_apply(feature_map)
+    if reconed.shape[1:3] != image.shape[1:3]:
+        reconed = resize_linear(reconed, image.shape[1:3])
+    return jnp.mean((reconed.astype(jnp.float32)
+                     - image.astype(jnp.float32)) ** 2)
+
+
+def domain_adversarial_loss(disc_apply, source_feat: jnp.ndarray,
+                            target_feat: jnp.ndarray) -> jnp.ndarray:
+    """Discriminator BCE with source=0 / target=1 labels (reference
+    train2d.py:1262-1277). With a RevGrad discriminator the returned loss
+    trains the discriminator AND reverses into the feature extractor."""
+    mix = jnp.concatenate([source_feat, target_feat], axis=0)
+    labels = jnp.concatenate(
+        [jnp.zeros((source_feat.shape[0], 1), jnp.float32),
+         jnp.ones((target_feat.shape[0], 1), jnp.float32)], axis=0)
+    scores = disc_apply(mix)
+    return weighted_bce_with_logits(scores, labels)
+
+
+def vcdr_estimation_losses(estimator_apply, probs: jnp.ndarray,
+                           gt_mask: jnp.ndarray) -> dict:
+    """vCDR losses (reference train2d.py:1288-1312): the estimator regresses
+    the hard-threshold vCDR of the prediction (estimator-only gradient), and
+    the estimator's output on live probs regresses the ground-truth vCDR
+    (gradients into both)."""
+    from ..ops.losses import calc_vcdr_batch
+    vcdr_pred_hard = calc_vcdr_batch(probs)
+    vcdr_estim_nograd = estimator_apply(jax.lax.stop_gradient(probs))[:, 0]
+    estim_loss = jnp.mean(jnp.abs(vcdr_estim_nograd - vcdr_pred_hard))
+    vcdr_gt = calc_vcdr_batch(gt_mask)
+    vcdr_estim = estimator_apply(probs)[:, 0]
+    net_loss = jnp.mean(jnp.abs(vcdr_estim - vcdr_gt))
+    return {"vcdr_estim_loss": estim_loss, "vcdr_net_loss": net_loss,
+            "vcdr_loss": estim_loss + net_loss}

@@ -140,6 +140,10 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 
 def create_train_state(params, batch_stats, tx, rng) -> TrainState:
-    return TrainState(step=jnp.zeros([], jnp.int32), params=params,
-                      batch_stats=batch_stats, opt_state=tx.init(params),
-                      rng=rng)
+    state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params),
+                       rng=rng)
+    # De-alias leaves: jax caches identical constants (e.g. the optimizer's
+    # zero moments), and donating a state with two leaves sharing one buffer
+    # fails ("attempt to donate the same buffer twice").
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
