@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_GPU_IMGS_PER_SEC = 30.0
-BATCH = 16
+BATCH = 32
 WARMUP = 3
 ITERS = 20
 

@@ -102,16 +102,24 @@ class Polyformer(nn.Module):
 
 def polyformer_param_labels(params, opt_mode: str,
                             frozen_label: str = "frozen",
-                            train_label: str = "normal"):
+                            train_label: str = "normal",
+                            batch_stats=None,
+                            bn_opt_scheme: str = None):
     """Label params for subset optimization, mirroring reference
     train2d.py:469-503: opt_mode in {allpoly, inator, k, q, v, h, allnet}
-    (comma-separated combinations allowed)."""
+    (comma-separated combinations allowed). bn_opt_scheme='affine' also
+    trains BatchNorm scale/bias (identified via the batch_stats tree --
+    reference train2d.py:505-510)."""
     modes = opt_mode.split(",")
     flat = flax.traverse_util.flatten_dict(params)
+    bn_paths = set()
+    if bn_opt_scheme == "affine" and batch_stats is not None:
+        for path in flax.traverse_util.flatten_dict(batch_stats):
+            bn_paths.add(path[:-1])  # module path owning running stats
     labels = {}
     for path in flat:
         name = "/".join(str(p) for p in path)
-        trained = False
+        trained = path[:-1] in bn_paths
         if "allnet" in modes:
             trained = True
         if "allpoly" in modes and (

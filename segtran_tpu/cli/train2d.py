@@ -94,6 +94,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="source-domain dataset for adversarial DA")
     p.add_argument("--domweight", dest="domain_loss_w", type=float,
                    default=0.002)
+    p.add_argument("--adda", action="store_true",
+                   help="ADDA two-step adversarial training instead of "
+                        "RevGrad (reference train2d.py:1278-1283)")
     p.add_argument("--reconweight", dest="recon_w", type=float, default=0.0)
     p.add_argument("--attnconsist", dest="use_attn_consist_loss",
                    action="store_true")
@@ -102,6 +105,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--vcdrweight", dest="vcdr_w", type=float, default=0.0)
     p.add_argument("--sourceopt", dest="poly_source_opt", default="allpoly")
     p.add_argument("--targetopt", dest="poly_target_opt", default="k")
+    p.add_argument("--bnopt", dest="bn_opt_scheme", default=None,
+                   choices=[None, "affine", "fixstats"])
     p.add_argument("--sample", dest="sample_num", type=int, default=-1,
                    help="few-shot: number of training shots")
     p.add_argument("--cp", dest="checkpoint_path", default=None)
@@ -153,16 +158,80 @@ def build_model_and_config(args, task):
             dtype=dtype,
         ).derive(translayer_compress_ratios=compress)
         return Segtran2d(cfg), cfg
+    nc = task["num_classes"]
     if args.net == "unet-scratch":
-        cfg = None
-        model = VanillaUNet(n_channels=3, num_classes=task["num_classes"],
+        model = VanillaUNet(n_channels=3, num_classes=nc,
                             polyformer_mode=args.polyformer_mode,
                             num_attractors=args.num_attractors,
                             num_modes=4 if args.num_modes == -1
                             else args.num_modes,
+                            bn_eval=(args.bn_opt_scheme == "fixstats"),
                             dtype=dtype)
-        return model, cfg
-    raise ValueError(f"net {args.net} is not wired into the 2D trainer yet")
+        return model, None
+    # baseline zoo (reference --net dispatch, train2d.py:933-1032)
+    if args.net in ("unet", "unet-smp"):
+        from ..models.unet_smp import UnetSMP
+        return UnetSMP(num_classes=nc, encoder=args.backbone_type,
+                       dtype=dtype), None
+    if args.net == "nestedunet":
+        from ..models.nested_unet import NestedUNet
+        return NestedUNet(num_classes=nc, dtype=dtype), None
+    if args.net == "unet3plus":
+        from ..models.unet_3plus import UNet3Plus
+        return UNet3Plus(num_classes=nc, dtype=dtype), None
+    if args.net in ("attunet", "r2attunet"):
+        from ..models.att_unet import AttUNet
+        return AttUNet(num_classes=nc, use_attention=True,
+                       recurrent=(args.net == "r2attunet"),
+                       dtype=dtype), None
+    if args.net == "dunet":
+        from ..models.dunet import DUNetV1V2
+        return DUNetV1V2(n_classes=nc, dtype=dtype), None
+    if args.net == "transunet":
+        from ..models.transunet import TransUNet
+        bb = args.backbone_type if args.backbone_type.startswith("resnet") \
+            else "resnet50"
+        return TransUNet(num_classes=nc, backbone=bb, dtype=dtype), None
+    if args.net == "setr":
+        from ..models.setr import SETR_PUP
+        return SETR_PUP(num_classes=nc, dtype=dtype), None
+    if args.net in ("deeplabv3plus", "deeplab-smp"):
+        from ..models.deeplab import DeepLabV3Plus
+        bb = args.backbone_type if args.backbone_type.startswith("resnet") \
+            else "resnet50"
+        return DeepLabV3Plus(num_classes=nc, backbone=bb, dtype=dtype), None
+    if args.net == "pranet":
+        return _PraNetForTraining(num_classes=nc - 1, dtype=dtype), None
+    if args.net == "nnunet":
+        from ..models.generic_unet import GenericUNet
+        return GenericUNet(num_classes=nc, deep_supervision=False,
+                           dtype=dtype), None
+    raise ValueError(f"unknown --net {args.net}")
+
+
+class _PraNetForTraining:
+    """PraNet returns 4 single-channel lateral maps; the reference trains on
+    lateral_map_2 with a zero background channel prepended
+    (train2d.py:1207-1214). Wrap it so the trainer sees standard logits."""
+
+    def __init__(self, num_classes, dtype):
+        from ..models.pranet import PraNet
+        self.net = PraNet(num_classes=num_classes, dtype=dtype)
+
+    def init(self, *a, **kw):
+        return self.net.init(*a, **kw)
+
+    def apply(self, variables, x, train=False, **kw):
+        import jax.numpy as jnp
+        res = self.net.apply(variables, x, train=train, **kw)
+        if isinstance(res, tuple) and isinstance(res[0], tuple):
+            outs, mstate = res[0], res[1]
+            lat2 = outs[3]
+            bg = jnp.zeros_like(lat2[..., :1])
+            return jnp.concatenate([bg, lat2], axis=-1), mstate
+        lat2 = res[3]
+        bg = jnp.zeros_like(lat2[..., :1])
+        return jnp.concatenate([bg, lat2], axis=-1)
 
 
 def make_full_step(model, tx, task, args, aug_cfg, patch_size,
@@ -289,16 +358,36 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                         feat_s = jax.nn.sigmoid(src_logits)
                         feat_t = jax.nn.sigmoid(logits)
 
-                    def disc_apply(v):
+                    def disc_apply(v, d_params):
                         out, dstats = disc_model.apply(
-                            {"params": params["discriminator"],
+                            {"params": d_params,
                              "batch_stats":
                                  state.batch_stats.get("discriminator", {})},
                             v, train=True, mutable=["batch_stats"])
                         disc_apply.dstats = dstats["batch_stats"]
                         return out
 
-                    dl = domain_adversarial_loss(disc_apply, feat_s, feat_t)
+                    if args.adda:
+                        # ADDA: discriminator trains on detached features;
+                        # the generator trains against a frozen discriminator
+                        # with flipped labels (reference train2d.py:1278-1283,
+                        # folded into one step)
+                        d_loss = domain_adversarial_loss(
+                            lambda v: disc_apply(
+                                v, params["discriminator"]),
+                            jax.lax.stop_gradient(feat_s),
+                            jax.lax.stop_gradient(feat_t))
+                        frozen = jax.lax.stop_gradient(
+                            params["discriminator"])
+                        g_loss = domain_adversarial_loss(
+                            lambda v: disc_apply(v, frozen),
+                            feat_t, feat_s)  # flipped labels
+                        dl = d_loss + g_loss
+                    else:
+                        dl = domain_adversarial_loss(
+                            lambda v: disc_apply(
+                                v, params["discriminator"]),
+                            feat_s, feat_t)
                     loss = loss + args.domain_loss_w * dl
                     metrics["domain_loss"] = dl
                     all_bstats["discriminator"] = disc_apply.dstats
@@ -378,7 +467,9 @@ def main(argv=None):
         from ..train.bertadam import bert_adam
         opt_mode = (args.poly_source_opt if args.polyformer_mode == "source"
                     else args.poly_target_opt)
-        labels = partial(polyformer_param_labels, opt_mode=opt_mode)
+        labels = partial(polyformer_param_labels, opt_mode=opt_mode,
+                         batch_stats=batch_stats,
+                         bn_opt_scheme=args.bn_opt_scheme)
         tx = optax.multi_transform(
             {"normal": bert_adam(lr, warmup_ratio, args.maxiter,
                                  weight_decay=0.0),
@@ -403,7 +494,10 @@ def main(argv=None):
             feat_ch = task["num_classes"]
         if args.adversarial_mode:
             from ..models.discriminator import Discriminator
-            disc_model = Discriminator(num_classes=1, do_revgrad=True)
+            # ADDA does not use gradient reversal (reference
+            # discriminator.py:70-71 do_revgrad=False when adda)
+            disc_model = Discriminator(num_classes=1,
+                                       do_revgrad=not args.adda)
             d_params, d_rest = init_with_reference_schemes(
                 disc_model, {"params": jax.random.PRNGKey(args.seed + 7)},
                 jnp.zeros((1, 64, 64, feat_ch), jnp.float32))

@@ -90,7 +90,10 @@ class Aggregation(nn.Module):
 
 
 class PraNet(nn.Module):
-    num_classes: int = 1   # lateral maps are single-channel like the original
+    # the reference constructs PraNet(num_classes=args.num_classes - 1)
+    # (train2d.py:946-947); lateral maps carry num_classes channels and the
+    # background channel is prepended by the trainer
+    num_classes: int = 1
     channel: int = 32
     dtype: Any = jnp.float32
 
@@ -123,16 +126,18 @@ class PraNet(nn.Module):
         crop4 = resize_linear(ra5, x4.shape[1:3])
         out4 = ra_branch(x4, crop4, [(256, 1, False), (256, 5, True),
                                      (256, 5, True), (256, 5, True),
-                                     (1, 1, False)], "ra4")
+                                     (self.num_classes, 1, False)], "ra4")
         lateral_4 = resize_linear(out4.astype(jnp.float32), (h, w))
         # branch 3 (1/16)
         crop3 = resize_linear(out4, x3.shape[1:3])
         out3 = ra_branch(x3, crop3, [(64, 1, False), (64, 3, True),
-                                     (64, 3, True), (1, 3, False)], "ra3")
+                                     (64, 3, True),
+                                     (self.num_classes, 3, False)], "ra3")
         lateral_3 = resize_linear(out3.astype(jnp.float32), (h, w))
         # branch 2 (1/8)
         crop2 = resize_linear(out3, x2.shape[1:3])
         out2 = ra_branch(x2, crop2, [(64, 1, False), (64, 3, True),
-                                     (64, 3, True), (1, 3, False)], "ra2")
+                                     (64, 3, True),
+                                     (self.num_classes, 3, False)], "ra2")
         lateral_2 = resize_linear(out2.astype(jnp.float32), (h, w))
         return lateral_5, lateral_4, lateral_3, lateral_2

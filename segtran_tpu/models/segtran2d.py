@@ -50,6 +50,13 @@ class Segtran2d(nn.Module):
                 stem_stride=1 if cfg.bb_feat_upsize else 2,
                 bn_axis_name=self.bn_axis_name, dtype=cfg.dtype,
                 name="backbone")
+        if cfg.backbone_type.startswith("effv2"):
+            from ..nn.backbones.efficientnetv2 import EfficientNetV2Features
+            return EfficientNetV2Features(
+                variant=cfg.backbone_type,
+                stem_stride=1 if cfg.bb_feat_upsize else 2,
+                bn_axis_name=self.bn_axis_name, dtype=cfg.dtype,
+                name="backbone")
         if cfg.backbone_type.startswith("resnet"):
             return ResNetFeatures(
                 variant=cfg.backbone_type, do_pool1=not cfg.bb_feat_upsize,

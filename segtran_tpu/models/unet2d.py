@@ -23,12 +23,14 @@ class DoubleConv(nn.Module):
     out_channels: int
     mid_channels: Optional[int] = None
     bn_axis_name: Optional[str] = None
+    bn_eval: bool = False   # --bnopt fixstats: freeze running statistics
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = self.mid_channels or self.out_channels
-        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+        bn = lambda name: nn.BatchNorm(use_running_average=(not train)
+                                       or self.bn_eval,
                                        momentum=0.9, epsilon=1e-5,
                                        dtype=self.dtype,
                                        axis_name=self.bn_axis_name, name=name)
@@ -43,19 +45,22 @@ class DoubleConv(nn.Module):
 class Down(nn.Module):
     out_channels: int
     bn_axis_name: Optional[str] = None
+    bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = max_pool_nhwc(x, (2, 2))
         return DoubleConv(self.out_channels, bn_axis_name=self.bn_axis_name,
-                          dtype=self.dtype, name="maxpool_conv_1")(x, train)
+                          bn_eval=self.bn_eval, dtype=self.dtype,
+                          name="maxpool_conv_1")(x, train)
 
 
 class Up(nn.Module):
     out_channels: int
     bilinear: bool = True
     bn_axis_name: Optional[str] = None
+    bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -75,7 +80,8 @@ class Up(nn.Module):
         # the concatenated channels (unet_parts.py:49-53)
         mid = (x.shape[-1] // 2) if self.bilinear else None
         return DoubleConv(self.out_channels, mid_channels=mid,
-                          bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                          bn_axis_name=self.bn_axis_name,
+                          bn_eval=self.bn_eval, dtype=self.dtype,
                           name="conv")(x, train)
 
 
@@ -99,11 +105,13 @@ class VanillaUNet(nn.Module):
     num_attractors: int = 256
     num_modes: int = 4
     bn_axis_name: Optional[str] = None
+    bn_eval: bool = False   # --bnopt fixstats (reference train2d.py:1089-1104)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        kw = dict(bn_axis_name=self.bn_axis_name, bn_eval=self.bn_eval,
+                  dtype=self.dtype)
         factor = 2 if self.bilinear else 1
         x1 = DoubleConv(64, name="inc", **kw)(x, train)
         x2 = Down(128, name="down1", **kw)(x1, train)
