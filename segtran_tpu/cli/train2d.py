@@ -150,6 +150,7 @@ def build_model_and_config(args, task):
             qk_have_bias=args.qk_have_bias,
             use_squeezed_transformer=args.use_squeezed_transformer,
             ablate_multihead=args.ablate_multihead,
+            use_attn_consist_loss=args.use_attn_consist_loss,
             pos_code_type=args.pos_code_type,
             in_fpn_layers=tuple(int(c) for c in args.in_fpn_layers),
             out_fpn_layers=tuple(int(c) for c in args.out_fpn_layers),

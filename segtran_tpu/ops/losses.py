@@ -35,6 +35,31 @@ def dice_loss_indiv(score: jnp.ndarray, gt_mask: jnp.ndarray,
     return jnp.mean(loss)
 
 
+def smooth_dice_loss(score: jnp.ndarray, gt_mask: jnp.ndarray,
+                     running_denom: jnp.ndarray,
+                     momentum: float = 0.1):
+    """Smoothed Dice with a running-average denominator offset (reference
+    utils/losses.py:7-44 SmoothDiceLoss; unused in the reference main path
+    but part of its loss inventory). State is explicit for jit: pass the
+    previous running_denom (scalar; <0 means uninitialized) and carry the
+    returned one. Returns (smooth_loss, orig_loss, new_running_denom)."""
+    eps = 1e-5
+    b = score.shape[0]
+    s = score.reshape(b, -1).astype(jnp.float32)
+    g = gt_mask.reshape(b, -1).astype(jnp.float32)
+    intersect = jnp.sum(s * g, axis=1)
+    denom = jnp.sum(s * s, axis=1) + jnp.sum(g * g, axis=1) + eps
+    mean_denom = jnp.mean(denom)
+    new_running = jnp.where(running_denom < 0, mean_denom,
+                            running_denom * (1 - momentum)
+                            + mean_denom * momentum)
+    dyn_offset = jnp.where(running_denom < 0, jnp.zeros_like(denom),
+                           new_running - jax.lax.stop_gradient(denom))
+    smooth_dice = (2 * intersect + eps + dyn_offset) / (denom + dyn_offset)
+    orig_dice = (2 * intersect + eps) / denom
+    return (jnp.mean(1 - smooth_dice), jnp.mean(1 - orig_dice), new_running)
+
+
 def dice_loss_mix(score: jnp.ndarray, gt_mask: jnp.ndarray) -> jnp.ndarray:
     """Whole-batch Dice loss (reference utils/losses.py:63-71). Note the
     reference uses plain sums (not squared) for the denominator here."""
