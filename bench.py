@@ -24,6 +24,8 @@ ITERS = 20
 
 
 def main():
+    from segtran_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from segtran_tpu.configs import Segtran2dConfig
     from segtran_tpu.models import Segtran2d
     from segtran_tpu.nn.init import init_with_reference_schemes

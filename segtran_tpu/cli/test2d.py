@@ -69,31 +69,23 @@ def build_argparser():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true")
+    p.add_argument("--polyformer", dest="polyformer_mode", default=None,
+                   choices=[None, "source", "target"])
     return p
 
 
 def build_model(args, task):
-    from ..configs import Segtran2dConfig
-    from ..models import Segtran2d
-    from ..models.unet2d import VanillaUNet
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    if args.net == "segtran":
-        compress = tuple(
-            float(x) for x in (args.translayer_compress_ratios or
-                               ",".join(["1"] * (args.num_translayers + 1))
-                               ).split(","))
-        cfg = Segtran2dConfig(
-            backbone_type=args.backbone_type,
-            num_classes=task["num_classes"],
-            num_attractors=args.num_attractors,
-            qk_have_bias=args.qk_have_bias,
-            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-            use_fused_attention=args.use_fused_attention,
-            dtype=dtype).derive(translayer_compress_ratios=compress)
-        return Segtran2d(cfg), cfg
-    if args.net == "unet-scratch":
-        return VanillaUNet(num_classes=task["num_classes"], dtype=dtype), None
-    raise ValueError(args.net)
+    """Reuse the training factory so every --net evaluates identically
+    (defaults filled for flags the eval CLI does not expose)."""
+    from .train2d import build_model_and_config
+    import argparse as _ap
+    defaults = dict(num_modes=-1, dropout_prob=0.0,
+                    use_squeezed_transformer=True, ablate_multihead=False,
+                    pos_code_type="lsinu", in_fpn_layers="34",
+                    out_fpn_layers="1234", polyformer_mode=None,
+                    bn_opt_scheme=None, use_attn_consist_loss=False)
+    merged = _ap.Namespace(**{**defaults, **vars(args)})
+    return build_model_and_config(merged, task)
 
 
 def evaluate_checkpoint(model, variables, dataset, task, args, logger,
@@ -169,6 +161,8 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_input_size", args.orig_input_size),
                             ("patch_size", args.patch_size)):

@@ -151,6 +151,7 @@ def build_model_and_config(args, task):
             use_squeezed_transformer=args.use_squeezed_transformer,
             ablate_multihead=args.ablate_multihead,
             use_attn_consist_loss=args.use_attn_consist_loss,
+            use_fused_attention=getattr(args, "use_fused_attention", False),
             pos_code_type=args.pos_code_type,
             in_fpn_layers=tuple(int(c) for c in args.in_fpn_layers),
             out_fpn_layers=tuple(int(c) for c in args.out_fpn_layers),
@@ -409,6 +410,8 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_input_size", args.orig_input_size),
                             ("patch_size", args.patch_size)):

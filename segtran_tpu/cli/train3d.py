@@ -78,6 +78,8 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_patch_size", args.orig_patch_size),
                             ("input_patch_size", args.input_patch_size)):
