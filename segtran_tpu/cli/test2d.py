@@ -71,6 +71,12 @@ def build_argparser():
                    action="store_true")
     p.add_argument("--polyformer", dest="polyformer_mode", default=None,
                    choices=[None, "source", "target"])
+    p.add_argument("--testinterp", dest="test_interp", default=None,
+                   help="null-model sanity check: predict = GT downsampled "
+                        "to this size then upsampled (reference "
+                        "test_util2d.py:60-64), e.g. 144,144")
+    p.add_argument("--exclusive", dest="use_exclusive_masks",
+                   action="store_true")
     return p
 
 
@@ -112,10 +118,28 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
                                 shuffle=False, drop_last=False,
                                 keys=("image", "mask", "index")):
         img = jnp.asarray(batch["image"])
-        probs = sliding_window_2d(model_fn, img, orig, patch,
-                                  num_classes=num_classes)
+        if getattr(args, "test_interp", None):
+            # null-model interpolation floor (reference test_util2d.py:60-64)
+            ti = tuple(int(v) for v in str(args.test_interp).split(","))
+            ti = ti * 2 if len(ti) == 1 else ti
+            gt_now = (fundus_map_mask(jnp.asarray(batch["mask"]))
+                      if args.task_name == "fundus" else
+                      polyp_map_mask(jnp.asarray(batch["mask"]))
+                      if args.task_name == "polyp" else
+                      index_to_onehot(jnp.asarray(batch["mask"][..., 0]),
+                                      num_classes))
+            small = jax.image.resize(
+                gt_now, gt_now.shape[:1] + ti + gt_now.shape[3:], "nearest")
+            from ..ops.resize import resize_linear
+            probs = resize_linear(small, gt_now.shape[1:3])
+        else:
+            probs = sliding_window_2d(model_fn, img, orig, patch,
+                                      num_classes=num_classes)
         if args.task_name == "fundus":
-            gt = fundus_map_mask(jnp.asarray(batch["mask"]))
+            gt = fundus_map_mask(jnp.asarray(batch["mask"]),
+                                 exclusive=getattr(args,
+                                                   "use_exclusive_masks",
+                                                   False))
         elif args.task_name == "polyp":
             gt = polyp_map_mask(jnp.asarray(batch["mask"]))
         else:

@@ -35,6 +35,14 @@ from ..utils import AverageMeters, setup_logging
 def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", dest="task_name", default="brats")
+    p.add_argument("--net", default="segtran",
+                   choices=["segtran", "vnet", "unet"])
+    p.add_argument("--segtran", dest="segtran_type", default="3d",
+                   choices=["3d", "25d"])
+    p.add_argument("--wholevol", action="store_true",
+                   help="single whole-volume forward instead of sliding "
+                        "windows (pads to stride multiples; uses the "
+                        "squeezed transformer's O(N*A) scaling)")
     p.add_argument("--ds", dest="ds_name", default="2019valid")
     p.add_argument("--split", default="all")
     p.add_argument("--dataroot", default="../data")
@@ -90,14 +98,32 @@ def main(argv=None):
         float(x) for x in (args.translayer_compress_ratios or
                            ",".join(["1"] * (args.num_translayers + 1))
                            ).split(","))
-    cfg = Segtran3dConfig(
-        num_classes=task["num_classes"],
-        num_attractors=args.num_attractors,
-        orig_in_channels=task["orig_in_channels"],
-        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-        use_fused_attention=args.use_fused_attention,
-        dtype=dtype).derive(translayer_compress_ratios=compress)
-    model = Segtran3d(cfg)
+    cfg = None
+    if args.net == "segtran":
+        from ..configs import Segtran25dConfig
+        cfg_cls = (Segtran3dConfig if args.segtran_type == "3d"
+                   else Segtran25dConfig)
+        cfg = cfg_cls(
+            num_classes=task["num_classes"],
+            num_attractors=args.num_attractors,
+            orig_in_channels=task["orig_in_channels"],
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            use_fused_attention=args.use_fused_attention,
+            dtype=dtype).derive(translayer_compress_ratios=compress)
+        if args.segtran_type == "3d":
+            model = Segtran3d(cfg)
+        else:
+            from ..models.segtran25d import Segtran25d
+            model = Segtran25d(cfg)
+    elif args.net == "vnet":
+        from ..models.vnet import VNet
+        model = VNet(n_channels=task["orig_in_channels"],
+                     num_classes=task["num_classes"],
+                     normalization="groupnorm", dtype=dtype)
+    else:
+        from ..models.unet3d import Modified3DUNet
+        model = Modified3DUNet(in_channels=task["orig_in_channels"],
+                               num_classes=task["num_classes"], dtype=dtype)
     input_size = tuple(task["input_patch_size"])
     example = jnp.zeros((1,) + input_size + (task["orig_in_channels"],),
                         jnp.float32)
@@ -127,9 +153,23 @@ def main(argv=None):
         for vi in range(len(dataset)):
             sample = dataset[vi]
             vol = jnp.asarray(sample["image"])[None]
-            probs = sliding_window_3d(
-                model_fn, vol, tuple(task["orig_patch_size"]), input_size,
-                num_classes=num_classes, window_batch=args.window_batch)[0]
+            if args.wholevol:
+                # pad spatial dims up to multiples the model strides require
+                # (16 x/y, 8 depth covers all 3D variants), run ONE forward
+                import numpy as _np
+                sp = vol.shape[1:4]
+                mults = (16, 16, 8)
+                pads = [(0, 0)] + [
+                    (0, (-s) % m) for s, m in zip(sp, mults)] + [(0, 0)]
+                volp = jnp.pad(vol, pads)
+                logits = model_fn(volp)
+                probs = jax.nn.sigmoid(
+                    logits[:, :sp[0], :sp[1], :sp[2]].astype(jnp.float32))[0]
+            else:
+                probs = sliding_window_3d(
+                    model_fn, vol, tuple(task["orig_patch_size"]), input_size,
+                    num_classes=num_classes,
+                    window_batch=args.window_batch)[0]
             if args.task_name == "brats":
                 probs = make_brats_pred_consistent(probs)
                 gt = brats_map_label(jnp.asarray(sample["label"]))

@@ -119,6 +119,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ndevices", type=int, default=-1)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (recommended on TPU)")
+    p.add_argument("--profile", action="store_true",
+                   help="print params/FLOPs/FPS before training (reference "
+                        "train2d.py:1048-1062)")
     return p
 
 
@@ -462,6 +465,20 @@ def main(argv=None):
         if payload.get("batch_stats"):
             batch_stats = merge_params(batch_stats, payload["batch_stats"])
         logger.info("loaded checkpoint %s", args.checkpoint_path)
+
+    if args.profile:
+        from ..tools.flops import count_params, estimate_flops, measure_fps
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        fwd = lambda v, xx: model.apply(v, xx, train=False)
+        logger.info("params: %.2fM", count_params(params) / 1e6)
+        costs = estimate_flops(fwd, variables, example)
+        logger.info("forward FLOPs: %.2fG, bytes: %.2fM",
+                    costs["flops"] / 1e9, costs["bytes"] / 1e6)
+        fps = measure_fps(fwd, variables, example, iters=10)
+        logger.info("forward FPS (bs=%d): %.2f imgs/s",
+                    example.shape[0], fps * example.shape[0])
 
     if args.polyformer_mode:
         # param-subset optimization (reference train2d.py:462-503): decay=0,

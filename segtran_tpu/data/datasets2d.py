@@ -59,6 +59,26 @@ def localize(image: np.ndarray, mask: np.ndarray,
     return image[minx:maxx, miny:maxy], mask[minx:maxx, miny:maxy]
 
 
+def reshape_mask(mask: np.ndarray, dim: int, value: int = 255,
+                 shape: Optional[str] = None) -> np.ndarray:
+    """Mask-shape bias probe (reference datasets2d.py:253-270): replace one
+    class's region with its minimum-area rectangle to test whether the model
+    exploits mask shape. Requires cv2."""
+    if shape is None:
+        return mask
+    import cv2
+    fg = np.nonzero(mask[:, :, dim] == value)
+    fg_xy = np.stack(fg[::-1], axis=1).astype(np.float32)
+    if shape != "rectangle":
+        raise ValueError(shape)
+    points = cv2.boxPoints(cv2.minAreaRect(fg_xy)).astype(int)
+    mask2 = np.zeros(mask.shape)
+    cv2.fillPoly(mask2, [points], value)
+    out = mask.copy()
+    out[:, :, dim] = mask2[:, :, 0]
+    return out
+
+
 def _read_list(path: str) -> List[str]:
     with open(path) as f:
         return [ln.strip() for ln in f if ln.strip()]

@@ -57,3 +57,13 @@ def test_train3d_and_test3d_cli(tmp_path):
     dice = results[2]
     assert len(dice) == 3 and all(np.isfinite(dice))
     assert os.path.isfile(os.path.join(str(tmp_path / "preds"), "pred.tar"))
+
+    # whole-volume (no sliding window) mode on the same checkpoint
+    results_wv = test_main([
+        "--task", "brats", "--ds", "2019train", "--split", "all",
+        "--translayers", "1", "--attractors", "8",
+        "--cpdir", ckpt_dir, "--iters", "2",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--wholevol", "--dataroot", root,
+    ])
+    assert all(np.isfinite(results_wv[2]))

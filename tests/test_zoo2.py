@@ -68,3 +68,20 @@ def test_deform_conv_and_dunet():
     du = DUNetV1V2(n_classes=2)
     out = _fwd(du, jnp.ones((1, 32, 32, 3)))
     assert out.shape == (1, 32, 32, 2)
+
+
+def test_segtran2d_effv2_backbone():
+    from segtran_tpu.configs import Segtran2dConfig
+    from segtran_tpu.models import Segtran2d
+    from segtran_tpu.nn.init import init_with_reference_schemes
+    cfg = Segtran2dConfig(
+        backbone_type="effv2s", num_classes=2, num_attractors=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    ).derive(translayer_compress_ratios=(1.0, 2.0))
+    m = Segtran2d(cfg)
+    x = jnp.ones((1, 64, 64, 3))
+    params, rest = init_with_reference_schemes(
+        m, {"params": jax.random.PRNGKey(0)}, x)
+    out = m.apply({"params": params, **rest}, x, train=False)
+    assert out.shape == (1, 64, 64, 2)
+    assert np.isfinite(np.asarray(out)).all()
