@@ -79,13 +79,16 @@ def fused_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           attn_clip: float = 500.0,
                           sm_scale: Optional[float] = None,
                           tile_q: int = 256, tile_n: int = 512,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool | None = None) -> jnp.ndarray:
     """softmax(clamp(q k^T / sqrt(d), +-clip)) @ v, streamed.
 
     q: [G, Q, D]; k: [G, N, D]; v: [G, N, F] (G = batch*modes folded).
     Returns [G, Q, F] in v.dtype. All shapes static; Q/N padded internally to
     tile multiples.
     """
+    if interpret is None:
+        # compiled Mosaic kernels need a TPU; interpret elsewhere (tests)
+        interpret = jax.default_backend() != "tpu"
     g, nq, d = q.shape
     n = k.shape[1]
     f = v.shape[2]
@@ -124,6 +127,45 @@ def fused_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(q, k, v)
     return out[:, :nq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_cross_attention_trainable(q, k, v, attn_clip=500.0,
+                                    sm_scale=None):
+    """Differentiable wrapper: Pallas forward, recompute-based XLA backward
+    (the backward materializes the score matrix; memory-optimal flash
+    backward is a follow-up). Gradients match jax.grad through
+    cross_attention_reference, including the clamp's zero-gradient region."""
+    return fused_cross_attention(q, k, v, attn_clip=attn_clip,
+                                 sm_scale=sm_scale)
+
+
+def _fca_fwd(q, k, v, attn_clip, sm_scale):
+    out = fused_cross_attention(q, k, v, attn_clip=attn_clip,
+                                sm_scale=sm_scale)
+    return out, (q, k, v)
+
+
+def _fca_bwd(attn_clip, sm_scale, res, g):
+    q, k, v = res
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    s_raw = jnp.einsum("gqd,gnd->gqn", q, k,
+                       preferred_element_type=jnp.float32) * scale
+    inside = (jnp.abs(s_raw) < attn_clip).astype(jnp.float32)
+    s = jnp.clip(s_raw, -attn_clip, attn_clip)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("gqn,gqf->gnf", p, g32)
+    dp = jnp.einsum("gqf,gnf->gqn", g32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = ds * inside * scale
+    dq = jnp.einsum("gqn,gnd->gqd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("gqn,gqd->gnd", ds, q.astype(jnp.float32))
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+fused_cross_attention_trainable.defvjp(_fca_fwd, _fca_bwd)
 
 
 def cross_attention_reference(q, k, v, attn_clip=500.0, sm_scale=None):

@@ -353,15 +353,14 @@ class CrossAttFeatTrans(nn.Module):
                     and (deterministic
                          or s.attention_probs_dropout_prob == 0.0))
         if fused_ok:
-            from ..kernels.squeezed_attention import fused_cross_attention
+            from ..kernels.squeezed_attention import (
+                fused_cross_attention_trainable)
             out_trans = ExpandedFeatTrans(s, name="out_trans")
             v = out_trans.compute_v(in_key)                # [B,M,U2,F]
             f = s.feat_dim
-            interpret = jax.default_backend() == "cpu"
-            fused = fused_cross_attention(
+            fused = fused_cross_attention_trainable(
                 q.reshape(b * m, u1, amd), k.reshape(b * m, u2, amd),
-                v.reshape(b * m, u2, f), attn_clip=s.attn_clip,
-                interpret=interpret)
+                v.reshape(b * m, u2, f), s.attn_clip)
             fused = fused.reshape(b, m, u1, f).astype(s.dtype)
             return out_trans(in_key, fused=fused,
                              deterministic=deterministic)

@@ -36,3 +36,25 @@ def test_fused_cross_attention_clamp():
     ref = cross_attention_reference(Q, K, V, attn_clip=500.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_fused_attention_gradients_match_reference():
+    """custom_vjp backward == jax.grad through the XLA oracle."""
+    from segtran_tpu.kernels.squeezed_attention import (
+        fused_cross_attention_trainable)
+    rng = np.random.RandomState(2)
+    Q = jnp.asarray(rng.randn(2, 128, 64).astype(np.float32) * 0.3)
+    K = jnp.asarray(rng.randn(2, 160, 64).astype(np.float32) * 0.3)
+    V = jnp.asarray(rng.randn(2, 160, 48).astype(np.float32))
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_cross_attention_trainable(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(cross_attention_reference(q, k, v) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(Q, K, V)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(Q, K, V)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
