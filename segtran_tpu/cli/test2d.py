@@ -77,6 +77,11 @@ def build_argparser():
                         "test_util2d.py:60-64), e.g. 144,144")
     p.add_argument("--exclusive", dest="use_exclusive_masks",
                    action="store_true")
+    p.add_argument("--robust", dest="eval_robustness", action="store_true",
+                   help="feature-robustness evaluation under perturbations "
+                        "(reference --robust, internal_util.py:197-343)")
+    p.add_argument("--robustsamples", dest="robust_sample_num", type=int,
+                   default=8)
     return p
 
 
@@ -226,6 +231,24 @@ def main(argv=None):
         variables = {"params": params_i}
         if bstats:
             variables["batch_stats"] = bstats
+        if args.eval_robustness:
+            from ..tools.robustness import eval_robustness
+            n = min(args.robust_sample_num, len(dataset))
+            imgs = jnp.stack([jnp.asarray(dataset[i]["image"])
+                              for i in range(n)])
+            imgs = jax.image.resize(
+                imgs, (n,) + tuple(task["patch_size"]) + (imgs.shape[-1],),
+                "linear")
+            rob = eval_robustness(model, variables, imgs)
+            for pert, vals in rob.items():
+                logger.info("robustness[%s]: output_pearson=%.4f", pert,
+                            vals["output_pearson"])
+                for k, v in sorted(vals.items()):
+                    if k != "output_pearson" and not k.startswith(("lr_",
+                                                                   "std/")):
+                        logger.info("  %s: %.4f", k, v)
+            results[it] = rob
+            continue
         results[it] = evaluate_checkpoint(model, variables, dataset, task,
                                           args, logger, mean, std)
     return results

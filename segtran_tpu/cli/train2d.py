@@ -119,6 +119,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ndevices", type=int, default=-1)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (recommended on TPU)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations (bigger batches in HBM)")
     p.add_argument("--profile", action="store_true",
                    help="print params/FLOPs/FPS before training (reference "
                         "train2d.py:1048-1062)")
@@ -155,6 +157,7 @@ def build_model_and_config(args, task):
             ablate_multihead=args.ablate_multihead,
             use_attn_consist_loss=args.use_attn_consist_loss,
             use_fused_attention=getattr(args, "use_fused_attention", False),
+            remat=getattr(args, "remat", False),
             pos_code_type=args.pos_code_type,
             in_fpn_layers=tuple(int(c) for c in args.in_fpn_layers),
             out_fpn_layers=tuple(int(c) for c in args.out_fpn_layers),
@@ -397,6 +400,15 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                     metrics["domain_loss"] = dl
                     all_bstats["discriminator"] = disc_apply.dstats
             metrics["loss"] = loss
+            # small previews for TensorBoard image grids (reference logs
+            # input/pred/gt grids every 50 iters, train2d.py:1354-1372)
+            prev = resize_linear(jax.nn.sigmoid(
+                logits[:1].astype(jnp.float32)), (72, 72))
+            metrics["_preview_pred"] = prev[0]
+            metrics["_preview_img"] = resize_linear(
+                image_small[:1].astype(jnp.float32), (72, 72))[0]
+            metrics["_preview_gt"] = resize_linear(
+                mask[:1].astype(jnp.float32), (72, 72))[0]
             return loss, (metrics, all_bstats)
 
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
@@ -601,11 +613,24 @@ def main(argv=None):
         for batch in prefetch_to_device(it, sharding=batch_sharding):
             state, metrics = sharded_step(state, batch)
             iter_num += 1
+            previews = {k: v for k, v in metrics.items()
+                        if k.startswith("_preview")}
+            metrics = {k: v for k, v in metrics.items()
+                       if not k.startswith("_preview")}
             for k, v in metrics.items():
                 meters.update(k, float(v))
             if writer is not None:
                 for k, v in metrics.items():
                     writer.add_scalar(k, float(v), iter_num)
+                if iter_num % 50 == 0 and previews:
+                    for k, v in previews.items():
+                        arr = np.clip(np.asarray(v, np.float32), 0, 1)
+                        if arr.shape[-1] > 3:
+                            arr = arr[..., :3]
+                        elif arr.shape[-1] < 3:
+                            arr = np.repeat(arr[..., :1], 3, axis=-1)
+                        writer.add_image(k.replace("_preview_", "train/"),
+                                         arr, iter_num, dataformats="HWC")
             if iter_num % 50 == 0:
                 logger.info("iter %d (%.2f it/s): %s", iter_num,
                             iter_num / (time.time() - t0),

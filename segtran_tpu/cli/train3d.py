@@ -73,6 +73,8 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--ndevices", type=int, default=-1)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations (bigger batches in HBM)")
     return p
 
 
@@ -113,6 +115,7 @@ def main(argv=None):
         orig_in_channels=task["orig_in_channels"],
         hidden_dropout_prob=args.dropout_prob,
         attention_probs_dropout_prob=args.dropout_prob,
+        remat=getattr(args, "remat", False),
         dtype=dtype,
     ).derive(translayer_compress_ratios=compress)
     model = (Segtran3d(cfg) if args.segtran_type == "3d"

@@ -94,6 +94,11 @@ class TransformerConfig:
     # Pallas flash-style fused attention for serving/training fast path.
     use_fused_attention: bool = False
 
+    # Rematerialize backbone + fusion encoder activations in the backward pass
+    # (jax.checkpoint): trades ~30% step FLOPs for large HBM savings, enabling
+    # bigger batches / whole-volume training on 16GB v5e chips.
+    remat: bool = False
+
     # If True, apply the *corrected* residual in the private FFN output.
     # The reference's MMPrivateOutput computes a residual but then normalizes the
     # non-residual tensor (segtran_shared.py:266-275) -- released checkpoints were

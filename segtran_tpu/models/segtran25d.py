@@ -63,17 +63,21 @@ class Segtran25d(nn.Module):
         pooled = avg_pool_nhwc(jnp.abs(fake2d), (pool_stride, pool_stride))
         nonzero_mask = (jnp.sum(pooled, axis=-1) > 0).astype(jnp.float32)
 
+        if cfg.remat:
+            wrap = lambda cls: nn.remat(cls, static_argnums=(2,))
+        else:
+            wrap = lambda cls: cls
         if cfg.backbone_type.startswith("eff"):
-            feats = EfficientNetFeatures(
+            feats = wrap(EfficientNetFeatures)(
                 variant=cfg.backbone_type,
                 stem_stride=1 if cfg.bb_feat_upsize else 2,
                 bn_axis_name=self.bn_axis_name, dtype=dt,
-                name="backbone")(fake2d, train=train)
+                name="backbone")(fake2d, train)
         else:
-            feats = ResNetFeatures(
+            feats = wrap(ResNetFeatures)(
                 variant=cfg.backbone_type, do_pool1=not cfg.bb_feat_upsize,
                 bn_axis_name=self.bn_axis_name, dtype=dt,
-                name="backbone")(fake2d, train=train)
+                name="backbone")(fake2d, train)
 
         # ---- 2D input FPN on folded batch (segtran25d.py:264-289) ----
         curr = feats[cfg.in_fpn_layers[0]]
@@ -113,9 +117,11 @@ class Segtran25d(nn.Module):
         voxels_pos = jnp.broadcast_to((xyz * total_scale)[None],
                                       (b, h2 * w2 * d3, 3))
 
-        vfeat_fused = SegtranFusionEncoder(cfg, name="voxel_fusion")(
+        enc_cls = (nn.remat(SegtranFusionEncoder, static_argnums=(4, 5))
+                   if cfg.remat else SegtranFusionEncoder)
+        vfeat_fused = enc_cls(cfg, name="voxel_fusion")(
             vfeat_fpn, voxels_pos, vmask[..., None], (h2, w2, d3),
-            deterministic=not train)
+            not train)
         vfeat_fused = vfeat_fused.reshape(b, h2, w2, d3, cfg.trans_out_dim)
 
         # ---- 3D output FPN on depth-last volumes (segtran25d.py:318-377) ----

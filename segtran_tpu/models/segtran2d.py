@@ -44,21 +44,24 @@ class Segtran2d(nn.Module):
 
     def _backbone(self):
         cfg = self.cfg
+        def wrap(cls):
+            # remat over (self, x) with `train` static
+            return nn.remat(cls, static_argnums=(2,)) if cfg.remat else cls
         if cfg.backbone_type.startswith("eff-"):
-            return EfficientNetFeatures(
+            return wrap(EfficientNetFeatures)(
                 variant=cfg.backbone_type,
                 stem_stride=1 if cfg.bb_feat_upsize else 2,
                 bn_axis_name=self.bn_axis_name, dtype=cfg.dtype,
                 name="backbone")
         if cfg.backbone_type.startswith("effv2"):
             from ..nn.backbones.efficientnetv2 import EfficientNetV2Features
-            return EfficientNetV2Features(
+            return wrap(EfficientNetV2Features)(
                 variant=cfg.backbone_type,
                 stem_stride=1 if cfg.bb_feat_upsize else 2,
                 bn_axis_name=self.bn_axis_name, dtype=cfg.dtype,
                 name="backbone")
         if cfg.backbone_type.startswith("resnet"):
-            return ResNetFeatures(
+            return wrap(ResNetFeatures)(
                 variant=cfg.backbone_type, do_pool1=not cfg.bb_feat_upsize,
                 bn_axis_name=self.bn_axis_name, dtype=cfg.dtype,
                 name="backbone")
@@ -89,7 +92,8 @@ class Segtran2d(nn.Module):
         pooled = avg_pool_nhwc(jnp.abs(batch), (pool_stride, pool_stride))
         nonzero_mask = jnp.sum(pooled, axis=-1) > 0  # [B, H2, W2]
 
-        feats = self._backbone()(batch, train=train)
+        # positional `train` so nn.remat's static_argnums applies
+        feats = self._backbone()(batch, train)
 
         # ---- input FPN (segtran2d.py:235-271) ----
         curr = feats[cfg.in_fpn_layers[0]]
@@ -128,10 +132,13 @@ class Segtran2d(nn.Module):
 
         # ---- fusion transformer ----
         if not cfg.use_global_bias:
-            vfeat_fused = SegtranFusionEncoder(
-                cfg, keep_layer_outputs=True, name="voxel_fusion")(
+            enc_cls = (nn.remat(SegtranFusionEncoder,
+                                static_argnums=(4, 5))
+                       if cfg.remat else SegtranFusionEncoder)
+            vfeat_fused = enc_cls(
+                cfg, keep_layer_outputs=not cfg.remat, name="voxel_fusion")(
                 vfeat_fpn, voxels_pos, vmask[..., None].astype(dt), (h2, w2),
-                deterministic=not train)
+                not train)
         else:
             # learned global bias ablation (segtran2d.py:79-85, 413-417)
             vfeat_bias = self.param("vfeat_bias",

@@ -75,9 +75,11 @@ class Segtran3d(nn.Module):
         pooled = avg_pool_nhwc(jnp.abs(vol), pool)
         nonzero_mask = (jnp.sum(pooled, axis=-1) > 0).astype(jnp.float32)
 
-        feats = I3DFeatures(do_pool1=not cfg.bb_feat_upsize,
-                            bn_axis_name=self.bn_axis_name, dtype=dt,
-                            name="backbone")(vol, train=train)
+        i3d_cls = (nn.remat(I3DFeatures, static_argnums=(2,))
+                   if cfg.remat else I3DFeatures)
+        feats = i3d_cls(do_pool1=not cfg.bb_feat_upsize,
+                        bn_axis_name=self.bn_axis_name, dtype=dt,
+                        name="backbone")(vol, train)
 
         # ---- input FPN (segtran3d.py:285-334) ----
         curr = feats[cfg.in_fpn_layers[0]]
@@ -114,9 +116,11 @@ class Segtran3d(nn.Module):
         zyx = zyx * total_scale
         voxels_pos = jnp.broadcast_to(zyx[None], (b, d2 * h2 * w2, 3))
 
-        vfeat_fused = SegtranFusionEncoder(cfg, name="voxel_fusion")(
+        enc_cls = (nn.remat(SegtranFusionEncoder, static_argnums=(4, 5))
+                   if cfg.remat else SegtranFusionEncoder)
+        vfeat_fused = enc_cls(cfg, name="voxel_fusion")(
             vfeat_fpn, voxels_pos, vmask[..., None], (d2, h2, w2),
-            deterministic=not train)
+            not train)
         vfeat_fused = vfeat_fused.reshape(b, d2, h2, w2, cfg.trans_out_dim)
 
         # ---- output FPN (segtran3d.py:336-396) ----

@@ -27,3 +27,33 @@ def test_fused_attention_model_parity():
     y_fused = model_f.apply({"params": params, **rest}, x, train=False)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_exact),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_remat_forward_parity_and_grad():
+    """cfg.remat must not change numerics (beyond float noise) and must
+    backprop through the checkpointed backbone+encoder."""
+    import dataclasses
+    base = Segtran2dConfig(
+        backbone_type="eff-b0", num_classes=2, num_attractors=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        remat=True,
+    ).derive(translayer_compress_ratios=(1.0, 4.0))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    m1 = Segtran2d(base)
+    m2 = Segtran2d(dataclasses.replace(base, remat=False))
+    params, rest = init_with_reference_schemes(
+        m1, {"params": jax.random.PRNGKey(0)}, x)
+    o1 = m1.apply({"params": params, **rest}, x, train=False)
+    o2 = m2.apply({"params": params, **rest}, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+    def loss(p):
+        out, _ = m1.apply({"params": p, **rest}, x, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(3)},
+                          mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.sum(jnp.abs(v)))
+                for v in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
