@@ -158,6 +158,11 @@ class SegCrop:
         crop_pos = np.array([int(m.group(1)), int(m.group(2))]) \
             if m else np.array([0, 0])
         image = np.array(Image.open(os.path.join(self.base_dir, name), "r"))
+        if image.ndim == 2:
+            # grayscale (e.g. OCT duke): replicate to 3 channels
+            image = np.stack([image] * 3, axis=-1)
+        if image.shape[-1] == 4:
+            image = image[..., :3]  # drop alpha
         if self.has_mask:
             mask_path = os.path.join(self.base_dir,
                                      name.replace("images", "masks"))

@@ -152,6 +152,14 @@ class Segtran2d(nn.Module):
         vfeat_fused = vfeat_fused.reshape(b0, h2, w2, cfg.trans_out_dim)
 
         # ---- output FPN (segtran2d.py:273-312) ----
+        if cfg.num_modalities > 0:
+            # max-fuse the pyramid over modalities so the out-FPN operates on
+            # [B0, ...] like the fused transformer features (the reference's
+            # 2D multi-modality hook never reconciles these shapes; fusing the
+            # pyramid is the consistent extension of its in-FPN max fusion)
+            feats = tuple(
+                jnp.max(f.reshape((b0, mod) + f.shape[1:]), axis=1)
+                for f in feats)
         do_out_fpn = cfg.out_fpn_layers != cfg.in_fpn_layers
         if do_out_fpn:
             curr = feats[cfg.out_fpn_layers[0]]
