@@ -82,6 +82,9 @@ def build_argparser():
                         "(reference --robust, internal_util.py:197-343)")
     p.add_argument("--robustsamples", dest="robust_sample_num", type=int,
                    default=8)
+    p.add_argument("--nomask", dest="has_mask", action="store_false",
+                   help="predict-only mode for datasets without ground truth "
+                        "(reference has_mask=False datasets, e.g. valid2)")
     return p
 
 
@@ -151,8 +154,10 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
             gt = index_to_onehot(jnp.asarray(batch["mask"][..., 0]),
                                  num_classes)
         hard = harden_segmap(probs)
-        dice = batch_dice_per_class(hard.astype(jnp.float32), gt, num_classes)
-        all_dice.append(np.asarray(dice))
+        if getattr(args, "has_mask", True):
+            dice = batch_dice_per_class(hard.astype(jnp.float32), gt,
+                                        num_classes)
+            all_dice.append(np.asarray(dice))
         if args.do_vcdr and num_classes >= 3:
             verr = jnp.abs(calc_vcdr_batch(gt) -
                            calc_vcdr_batch(hard.astype(jnp.float32)))
@@ -171,6 +176,15 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
                 if args.saveprobs:
                     np.save(out_path + ".probs.npy",
                             np.asarray(probs[i], np.float16))
+    if not all_dice:
+        logger.info("predict-only mode: no ground truth, no Dice")
+        if args.outdir and saved:
+            zpath = os.path.join(args.outdir, "pred.zip")
+            with zipfile.ZipFile(zpath, "w") as z:
+                for pth in saved:
+                    z.write(pth, os.path.basename(pth))
+            logger.info("zipped %d masks -> %s", len(saved), zpath)
+        return np.zeros(num_classes - 1)
     dice = np.concatenate(all_dice, 0)
     cls_dice = dice.mean(0)
     for c, d in enumerate(cls_dice):
@@ -204,6 +218,7 @@ def main(argv=None):
     dataset = ds_cls(
         base_dir=os.path.join(args.dataroot, args.task_name, args.ds_name),
         split=args.split, mask_num_classes=task["num_classes"],
+        has_mask=getattr(args, "has_mask", True),
         binarize=task.get("binarize", False),
         out_size=task["orig_input_size"])
     logger.info("%d eval samples", len(dataset))
