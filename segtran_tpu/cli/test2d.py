@@ -55,6 +55,16 @@ def build_argparser():
     p.add_argument("--attractors", dest="num_attractors", type=int,
                    default=256)
     p.add_argument("--noqkbias", dest="qk_have_bias", action="store_false")
+    p.add_argument("--nosqueeze", dest="use_squeezed_transformer",
+                   action="store_false")
+    p.add_argument("--pos", dest="pos_code_type", default="lsinu",
+                   choices=["lsinu", "rand", "sinu", "none", "bias"])
+    p.add_argument("--mince", dest="use_mince_transformer",
+                   action="store_true")
+    p.add_argument("--mincescales", dest="mince_scales", default=None)
+    p.add_argument("--minceprops", dest="mince_channel_props", default=None)
+    p.add_argument("--infpn", dest="in_fpn_layers", default="34")
+    p.add_argument("--outfpn", dest="out_fpn_layers", default="1234")
     p.add_argument("--cpdir", required=True,
                    help="checkpoint dir containing iter_N")
     p.add_argument("--iters", default=None,
@@ -63,6 +73,9 @@ def build_argparser():
     p.add_argument("--origsize", dest="orig_input_size", default=None)
     p.add_argument("--patchsize", dest="patch_size", default=None)
     p.add_argument("--stats", dest="stats_json", default=None)
+    p.add_argument("--gray", dest="gray_alpha", type=float, default=0.5,
+                   help="grayscale blend used at training time "
+                        "(must match train2d --gray)")
     p.add_argument("--saveprobs", action="store_true")
     p.add_argument("--outdir", default=None, help="save predicted masks here")
     p.add_argument("--vcdr", dest="do_vcdr", action="store_true")
@@ -109,7 +122,7 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
     patch = tuple(task["patch_size"])
     mean_a = jnp.asarray(mean)
     std_a = jnp.asarray(std)
-    gray_alpha = getattr(args, "gray_alpha", 0.5)
+    gray_alpha = args.gray_alpha
     gray_w = jnp.asarray([0.299, 0.587, 0.114])
 
     @jax.jit
@@ -226,12 +239,20 @@ def main(argv=None):
     from .train2d import load_stats
     mean, std = load_stats(args, args.ds_name)
 
+    # Validate checkpoint paths BEFORE model init: a missing iter should fail
+    # in milliseconds, not after the multi-minute init/compile.
+    iters = parse_iters(args.iters) if args.iters else [None]
+    missing = [it for it in iters if it is not None and
+               not os.path.isdir(os.path.join(args.cpdir, f"iter_{it}"))]
+    if missing:
+        raise FileNotFoundError(
+            f"checkpoint dir(s) not found under {args.cpdir}: "
+            + ", ".join(f"iter_{it}" for it in missing))
+
     model, cfg = build_model(args, task)
     example = jnp.zeros((1,) + tuple(task["patch_size"]) + (3,), jnp.float32)
     params, rest = init_with_reference_schemes(
         model, {"params": jax.random.PRNGKey(0)}, example)
-
-    iters = parse_iters(args.iters) if args.iters else [None]
     results = {}
     for it in iters:
         if it is not None:

@@ -93,6 +93,16 @@ def main(argv=None):
         binarize=task.get("binarize", False))
     logger.info("%d eval volumes", len(dataset))
 
+    # Validate checkpoint paths BEFORE model init: a missing iter should fail
+    # in milliseconds, not after the multi-minute init/compile.
+    _iters = parse_iters(args.iters)
+    missing = [it for it in _iters if it is not None and
+               not os.path.isdir(os.path.join(args.cpdir, f"iter_{it}"))]
+    if missing:
+        raise FileNotFoundError(
+            f"checkpoint dir(s) not found under {args.cpdir}: "
+            + ", ".join(f"iter_{it}" for it in missing))
+
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     compress = tuple(
         float(x) for x in (args.translayer_compress_ratios or

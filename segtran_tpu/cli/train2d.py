@@ -69,6 +69,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["lsinu", "rand", "sinu", "none", "bias"])
     p.add_argument("--multihead", dest="ablate_multihead",
                    action="store_true")
+    p.add_argument("--mince", dest="use_mince_transformer",
+                   action="store_true",
+                   help="multi-scale (mince) attention (reference "
+                        "train2d.py:210-214)")
+    p.add_argument("--mincescales", dest="mince_scales", default=None,
+                   help="e.g. 1,2,3,4")
+    p.add_argument("--minceprops", dest="mince_channel_props", default=None,
+                   help="e.g. 0.4,0.3,0.2,0.1")
     p.add_argument("--infpn", dest="in_fpn_layers", default="34")
     p.add_argument("--outfpn", dest="out_fpn_layers", default="1234")
     p.add_argument("--maxiter", type=int, default=10000)
@@ -159,6 +167,14 @@ def build_model_and_config(args, task):
             use_fused_attention=getattr(args, "use_fused_attention", False),
             remat=getattr(args, "remat", False),
             pos_code_type=args.pos_code_type,
+            use_mince_transformer=getattr(args, "use_mince_transformer",
+                                          False),
+            mince_scales=tuple(
+                int(s) for s in args.mince_scales.split(","))
+            if getattr(args, "mince_scales", None) else None,
+            mince_channel_props=tuple(
+                float(s) for s in args.mince_channel_props.split(","))
+            if getattr(args, "mince_channel_props", None) else None,
             in_fpn_layers=tuple(int(c) for c in args.in_fpn_layers),
             out_fpn_layers=tuple(int(c) for c in args.out_fpn_layers),
             hidden_dropout_prob=dropout,

@@ -157,10 +157,6 @@ def main(argv=None):
         rng = jax.random.fold_in(state.rng, state.step + 31)
         k1, k2, k3 = jax.random.split(rng, 3)
         image = batch["image"]
-        if is_brats:
-            mask = brats_map_label(batch["label"], binarize)
-        else:
-            mask = index_to_onehot(batch["label"], num_classes)
         # per-sample rot/flip (reference compose, train3d.py:573-578)
         keys = jax.random.split(k1, image.shape[0])
         image, label_rf = jax.vmap(random_rot_flip_3d)(

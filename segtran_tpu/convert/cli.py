@@ -98,8 +98,14 @@ def convert_pth(pth_path: str, out_dir: str, model_kind: str = "segtran2d",
              for k, v in sd_np.items()}
 
     tie_shared = pth_args.get("tie_qk_scheme", "shared") == "shared"
-    conv_params, conv_stats = convert_state_dict(sd_np,
-                                                 tie_qk_shared=tie_shared)
+    # The no-out-FPN 2x upsampling head (reference segtran2d.py:205-208) is a
+    # ConvTranspose with a >1 spatial kernel; every other out_conv is 1x1.
+    transposed = frozenset(
+        k[:-len(".weight")] for k, v in sd_np.items()
+        if k.endswith("out_conv.weight") and v.ndim in (4, 5)
+        and any(s > 1 for s in v.shape[2:]))
+    conv_params, conv_stats = convert_state_dict(
+        sd_np, tie_qk_shared=tie_shared, transposed_conv_paths=transposed)
 
     cfg = config_from_pth_args(pth_args, model_kind)
     if model_kind == "segtran2d":

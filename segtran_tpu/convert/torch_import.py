@@ -51,12 +51,19 @@ def _translate_module_path(torch_key: str) -> Tuple[str, ...]:
 def convert_state_dict(sd: Dict[str, np.ndarray],
                        tie_qk_shared: bool = True,
                        norm_class_of: Dict[str, str] | None = None,
+                       transposed_conv_paths: frozenset = frozenset(),
                        ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Convert a torch state_dict (str -> np.ndarray) to (params, batch_stats).
 
     norm_class_of: optional map from torch module path (without '.weight') to
     'bn' for BatchNorm modules whose running stats exist. BN is auto-detected
     from the presence of ``<path>.running_mean``.
+
+    transposed_conv_paths: torch module paths (without '.weight') that are
+    ConvTranspose2d/3d. Their weights are stored [I, O, *k] (vs [O, I, *k]
+    for Conv), which rank alone cannot distinguish -- e.g. the reference's
+    no-out-FPN 2x upsampling head (segtran2d.py:205-208 'out_conv') and the
+    segtran3d ConvTranspose3d head.
     """
     params: Dict[str, Any] = {}
     batch_stats: Dict[str, Any] = {}
@@ -110,12 +117,27 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                     _set_path(params, mod_path + ("kernel",),
                               w.transpose(2, 1, 0))
             elif w.ndim == 4:
-                # Conv2d [O, I, kh, kw] -> [kh, kw, I, O]
-                _set_path(params, mod_path + ("kernel",), w.transpose(2, 3, 1, 0))
+                if mod_path_torch in transposed_conv_paths:
+                    # ConvTranspose2d [I, O, kh, kw] -> [kh, kw, I, O];
+                    # torch is gradient-of-conv, flax ConvTranspose
+                    # (transpose_kernel=False) is a fractionally strided
+                    # correlation -> flip the spatial dims
+                    _set_path(params, mod_path + ("kernel",),
+                              w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+                else:
+                    # Conv2d [O, I, kh, kw] -> [kh, kw, I, O]
+                    _set_path(params, mod_path + ("kernel",),
+                              w.transpose(2, 3, 1, 0))
             elif w.ndim == 5:
-                # Conv3d [O, I, kd, kh, kw] -> [kd, kh, kw, I, O]
-                _set_path(params, mod_path + ("kernel",),
-                          w.transpose(2, 3, 4, 1, 0))
+                if mod_path_torch in transposed_conv_paths:
+                    # ConvTranspose3d [I, O, kd, kh, kw] -> [kd, kh, kw, I, O]
+                    # with the same spatial flip as the 2D case
+                    _set_path(params, mod_path + ("kernel",),
+                              w[:, :, ::-1, ::-1, ::-1].transpose(2, 3, 4, 0, 1))
+                else:
+                    # Conv3d [O, I, kd, kh, kw] -> [kd, kh, kw, I, O]
+                    _set_path(params, mod_path + ("kernel",),
+                              w.transpose(2, 3, 4, 1, 0))
             else:
                 raise ValueError(f"unhandled weight rank for {key}: {w.shape}")
             continue

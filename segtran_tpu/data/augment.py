@@ -185,6 +185,18 @@ def random_resized_crop_3d(key, images, masks, scale: float):
     # zoom via resize to scaled size then center-crop/pad back, all static:
     # approximate by resampling the center f-window (zoom-in) or full window
     # scaled (zoom-out) -- implemented as coordinate scaling like 2D.
+    def lerp_axis(vol, axis, coords):
+        # separable linear interpolation along one spatial axis
+        n = vol.shape[axis]
+        i0 = jnp.floor(coords).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        wshape = [1] * vol.ndim
+        wshape[axis] = coords.shape[0]
+        wgt = (coords - i0).reshape(wshape)
+        a = jnp.take(vol, i0, axis=axis)
+        b = jnp.take(vol, i1, axis=axis)
+        return a * (1.0 - wgt) + b * wgt
+
     def resample(vol, order):
         grids = []
         valids = []
@@ -194,12 +206,14 @@ def random_resized_crop_3d(key, images, masks, scale: float):
             grids.append(jnp.clip(coords, 0, n - 1))
         gy, gx, gz = grids
         if order == 1:
-            iy = jnp.round(gy).astype(jnp.int32)
+            # trilinear (images), separable per axis
+            out = lerp_axis(lerp_axis(lerp_axis(vol, 1, gy), 2, gx), 3, gz)
         else:
+            # nearest (masks)
             iy = jnp.round(gy).astype(jnp.int32)
-        ix = jnp.round(gx).astype(jnp.int32)
-        iz = jnp.round(gz).astype(jnp.int32)
-        out = vol[:, iy][:, :, ix][:, :, :, iz]
+            ix = jnp.round(gx).astype(jnp.int32)
+            iz = jnp.round(gz).astype(jnp.int32)
+            out = vol[:, iy][:, :, ix][:, :, :, iz]
         v = (valids[0][:, None, None] & valids[1][None, :, None]
              & valids[2][None, None, :])
         return out * v[None, ..., None]

@@ -69,8 +69,9 @@ class BratsSet:
     mode: str = "train"            # train: random crop; else: whole volume
     crop_size: Optional[Tuple[int, int, int]] = None
     binarize: bool = False
+    remap_label4: bool = True      # BraTS raw ET label 4 -> 3 (:404)
     ds_weight: float = 1.0
-    weight_by_size: bool = False   # tumor-size sample weighting (:398-414)
+    weight_by_size: bool = False   # beyond-reference tumor-size weighting
     seed: int = 0
     image_key: str = "image"
     label_key: str = "label"
@@ -104,14 +105,24 @@ class BratsSet:
             image = image.transpose(1, 2, 3, 0)
         elif image.ndim == 3:
             image = image[..., None]
+        if label is not None:
+            if self.binarize:
+                # whole-tumor / LA segmentation (reference :400-401)
+                label = (label >= 1).astype(np.uint8)
+            elif self.remap_label4:
+                # BraTS raw labels are {0,1,2,4}; brats_map_label expects
+                # {0,1,2,3} (reference :403-404: mask -= (mask == 4))
+                label = (label - (label == 4)).astype(label.dtype)
         if self.mode == "train" and self.crop_size is not None:
             image, label = random_crop(image, label, self.crop_size,
                                        self._rng)
         weight = self.ds_weight
         if self.weight_by_size and label is not None:
-            # larger tumors get (slightly) larger weight, reference :398-414
+            # beyond-reference option: scale sample weight with foreground
+            # fraction (saturating at a nominal 1% tumor volume), so empty /
+            # near-empty crops contribute less.
             frac = float((label > 0).mean())
-            weight = weight * (0.5 + frac / max(frac, 1e-6) * 0.5)
+            weight = weight * (0.5 + 0.5 * min(frac / 0.01, 1.0))
         return {
             "image": image,
             "label": (label if label is not None
@@ -130,5 +141,6 @@ class AtriaSet(BratsSet):
 
 @dataclass
 class MSDSet(BratsSet):
-    """Medical Segmentation Decathlon h5 volumes (reference :210-329)."""
-    pass
+    """Medical Segmentation Decathlon h5 volumes (reference :210-329).
+    No BraTS label remap -- MSD label spaces are task-specific."""
+    remap_label4: bool = False

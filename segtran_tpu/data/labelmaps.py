@@ -35,9 +35,14 @@ def fundus_map_mask(mask: jnp.ndarray, exclusive: bool = False) -> jnp.ndarray:
 
     Two raw encodings (reference :106-138):
       * channel form [..., H, W, >=2]: ch0>=1 disc(+cup), ch1>=1 cup
-      * grayscale [..., H, W]: 255 bg / 128 disc / 0 cup
+      * grayscale [..., H, W] or [..., H, W, 1]: 255 bg / 128 disc / 0 cup
+        (datasets2d always appends a channel dim to grayscale masks)
     """
-    if mask.ndim >= 3 and mask.shape[-1] >= 2:
+    grayscale = mask.ndim < 3
+    if mask.ndim >= 3 and mask.shape[-1] == 1:
+        mask = mask[..., 0]  # [..., H, W, 1] -> grayscale [..., H, W]
+        grayscale = True
+    if not grayscale and mask.shape[-1] >= 2:
         ch0, ch1 = mask[..., 0], mask[..., 1]
         bg = (ch0 == 0)
         disc = (ch0 >= 1) & (ch1 == 0) if exclusive else (ch0 >= 1)
@@ -60,8 +65,9 @@ def fundus_inv_map_mask(mask_nhot: jnp.ndarray) -> jnp.ndarray:
 
 
 def polyp_map_mask(mask: jnp.ndarray, exclusive: bool = True) -> jnp.ndarray:
-    """Polyp raw mask (ch0: 0 bg / 255 polyp) -> 2-channel n-hot."""
-    ch0 = mask[..., 0] if (mask.ndim >= 3 and mask.shape[-1] >= 2) else mask
+    """Polyp raw mask (ch0: 0 bg / 255 polyp) -> 2-channel n-hot.
+    Accepts [..., H, W], [..., H, W, 1] or multi-channel [..., H, W, C]."""
+    ch0 = mask[..., 0] if (mask.ndim >= 3 and mask.shape[-1] <= 4) else mask
     return jnp.stack([ch0 == 0, ch0 > 0], axis=-1).astype(jnp.float32)
 
 

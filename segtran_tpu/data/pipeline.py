@@ -62,6 +62,7 @@ def prefetch_to_device(it: Iterator, size: int = 2,
     DataLoader workers + implicit .cuda() copies, train2d.py:1147)."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    err: list = []
 
     def producer():
         try:
@@ -71,6 +72,8 @@ def prefetch_to_device(it: Iterator, size: int = 2,
                 else:
                     batch = jax.device_put(batch)
                 q.put(batch)
+        except BaseException as e:  # re-raised in the consumer thread
+            err.append(e)
         finally:
             q.put(_END)
 
@@ -79,5 +82,7 @@ def prefetch_to_device(it: Iterator, size: int = 2,
     while True:
         item = q.get()
         if item is _END:
+            if err:
+                raise err[0]
             break
         yield item

@@ -67,8 +67,10 @@ class SegtranFusionEncoder(nn.Module):
         spatial_shape: static (H2, W2[, D2]) of the token grid."""
         cfg = self.cfg
         if cfg.use_squeezed_transformer and cfg.pos_code_type == "bias":
-            raise ValueError("Squeezed transformer cannot use positional "
-                             "biases (reference segtran_shared.py:841-844)")
+            raise ValueError(
+                "Squeezed transformer cannot use positional biases; pass "
+                "--nosqueeze to disable the squeezed transformer "
+                "(reference segtran_shared.py:841-844)")
         pos_is_bias = cfg.pos_code_type == "bias"
         # Reference adds poscode at every layer; weight 0 when 'bias'
         # (segtran_shared.py:846-850).
@@ -79,6 +81,18 @@ class SegtranFusionEncoder(nn.Module):
             pos_embed_dim=cfg.trans_in_dim,
             pos_bias_radius=cfg.pos_bias_radius,
             ln_eps=cfg.ln_eps, dtype=cfg.dtype, name="pos_code_layer")
+        # mince + 'bias': one pos encoder per scale, shared by all translayers
+        # (reference segtran_shared.py:856-861 builds them once in __init__)
+        mince_pos_encoders = []
+        if cfg.use_mince_transformer and pos_is_bias:
+            mince_pos_encoders = [
+                SegtranPosEncoder(
+                    pos_code_type="bias", pos_dim=cfg.pos_dim,
+                    pos_embed_dim=cfg.trans_in_dim,
+                    pos_bias_radius=cfg.pos_bias_radius,
+                    ln_eps=cfg.ln_eps, dtype=cfg.dtype,
+                    name=f"pos_code_layers_{si}")
+                for si in range(len(cfg.mince_scales))]
 
         for i in range(cfg.num_translayers):
             dim_i = cfg.translayer_dims[i]
@@ -118,18 +132,12 @@ class SegtranFusionEncoder(nn.Module):
                 from .mince import CrossMinceAttFeatTrans, scaled_shape
                 mince_pos = None
                 if pos_is_bias:
-                    # per-scale bias layers (reference
-                    # segtran_shared.py:856-861, 917-923)
-                    mince_pos = []
-                    for si, sc in enumerate(cfg.mince_scales):
-                        sub = SegtranPosEncoder(
-                            pos_code_type="bias", pos_dim=cfg.pos_dim,
-                            pos_embed_dim=cfg.trans_in_dim,
-                            pos_bias_radius=cfg.pos_bias_radius,
-                            ln_eps=cfg.ln_eps, dtype=cfg.dtype,
-                            name=f"pos_code_layers_{si}")
-                        mince_pos.append(
-                            sub(scaled_shape(spatial_shape, sc), voxels_pos))
+                    # per-scale biases from the shared per-scale encoders
+                    # (reference segtran_shared.py:917-923)
+                    mince_pos = [
+                        enc(scaled_shape(spatial_shape, sc), voxels_pos)
+                        for enc, sc in zip(mince_pos_encoders,
+                                           cfg.mince_scales)]
                 layer = CrossMinceAttFeatTrans(
                     spec, mince_scales=cfg.mince_scales,
                     mince_channel_props=cfg.mince_channel_props,

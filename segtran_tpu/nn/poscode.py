@@ -131,6 +131,9 @@ def _relative_bias_matrix(biases: jnp.ndarray,
     1152-1175) but expressed as broadcasting + one gather so XLA fuses it.
     """
     r = radius
+    # checkpoint-loaded params may be host numpy arrays; fancy indexing with
+    # traced indices requires a jnp array
+    biases = jnp.asarray(biases)
     axes_idx = []
     axes_valid = []
     for size in spatial_shape:
@@ -153,7 +156,10 @@ def _relative_bias_matrix(biases: jnp.ndarray,
     bias_nd = biases[tuple(idx)] * valid
     perm = list(range(0, 2 * d, 2)) + list(range(1, 2 * d, 2))
     bias_nd = jnp.transpose(bias_nd, perm)
-    n = int(jnp.prod(jnp.asarray(spatial_shape)))
+    # static Python product -- jnp.prod would stage a tracer under jit
+    n = 1
+    for s in spatial_shape:
+        n *= int(s)
     return bias_nd.reshape(n, n)
 
 

@@ -35,7 +35,9 @@ def attention_consistency_loss(layers_attn_scores: Sequence,
     b, c = resized.shape[0], resized.shape[-1]
     flat = resized.reshape(b, -1, c)                     # [B, N, C]
     consistency = jnp.einsum("bnc,bmc->bnm", flat, flat)
-    consistency = jnp.clip(consistency, 0.0, 1.0) > 0.5
+    # any positive soft-mask dot product counts as a consistent pair
+    # (reference train2d.py:681-684: torch.clip(...).bool())
+    consistency = consistency > 0.0
 
     n_layers = 1 if only_first_layer else len(layers_attn_scores)
     total = 0.0

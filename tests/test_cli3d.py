@@ -18,7 +18,7 @@ def make_brats_fixture(root, n=2, shape=(64, 64, 24)):
         lab = np.zeros(shape, np.uint8)
         lab[20:40, 20:40, 8:16] = 2
         lab[25:35, 25:35, 10:14] = 1
-        lab[28:32, 28:32, 11:13] = 3
+        lab[28:32, 28:32, 11:13] = 4  # raw BraTS ET label (remapped to 3)
         with h5py.File(os.path.join(ds_dir, name + ".h5"), "w") as f:
             f.create_dataset("image", data=img)
             f.create_dataset("label", data=lab)

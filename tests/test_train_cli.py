@@ -44,3 +44,58 @@ def test_train2d_cli_end_to_end(tmp_path):
         translayer_compress_ratios=(1.0, 1.0))
     with pytest.raises(ValueError):
         load_checkpoint(os.path.join(ckpt_dir, "iter_4"), bad_cfg)
+
+    # a missing iter must fail fast (before model init/compile)
+    import time
+    from segtran_tpu.cli.test2d import main as eval_main
+    t0 = time.time()
+    with pytest.raises(FileNotFoundError, match="iter_999"):
+        eval_main([
+            "--task", "fundus", "--ds", "train", "--split", "all",
+            "--net", "segtran", "--bb", "eff-b0", "--translayers", "1",
+            "--attractors", "8", "--cpdir", ckpt_dir, "--iters", "999",
+            "--origsize", "128", "--patchsize", "64",
+            "--dataroot", str(data_root), "--bs", "2",
+        ])
+    assert time.time() - t0 < 30, "missing-checkpoint check ran after init"
+
+
+@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
+                    reason="sample data not available")
+def test_train2d_mince_bias_recipe(tmp_path):
+    """Mince (multi-scale) attention + 'bias' pos code, trained end-to-end
+    and evaluated through test2d (reference train2d.py:210-214 recipe)."""
+    data_root = tmp_path / "data"
+    (data_root / "fundus").mkdir(parents=True)
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
+    for f in (data_root / "fundus" / "train").glob("*.list"):
+        f.unlink()
+
+    from segtran_tpu.cli.train2d import main
+    # 'bias' pos codes require the full (non-squeezed) transformer
+    # (reference segtran_shared.py:841-844)
+    common = [
+        "--task", "fundus", "--split", "all", "--net", "segtran",
+        "--bb", "eff-b0", "--translayers", "1", "--attractors", "8",
+        "--nosqueeze",
+        "--mince", "--mincescales", "1,2", "--minceprops", "0.5,0.5",
+        "--pos", "bias", "--origsize", "128", "--patchsize", "64",
+        "--dataroot", str(data_root),
+    ]
+    ckpt_dir = main(common + [
+        "--maxiter", "2", "--saveiter", "2", "--bs", "2",
+        "--ckptdir", str(tmp_path / "model"), "--ndevices", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_2"))
+
+    from segtran_tpu.cli.test2d import main as eval_main
+    results = eval_main([
+        "--task", "fundus", "--ds", "train", "--split", "all",
+        "--net", "segtran", "--bb", "eff-b0", "--translayers", "1",
+        "--attractors", "8", "--nosqueeze",
+        "--mince", "--mincescales", "1,2", "--minceprops", "0.5,0.5",
+        "--pos", "bias", "--origsize", "128", "--patchsize", "64",
+        "--dataroot", str(data_root),
+        "--cpdir", ckpt_dir, "--iters", "2", "--bs", "2",
+    ])
+    assert results, "eval produced no results"
