@@ -39,6 +39,10 @@ def build_argparser():
                    choices=["segtran", "vnet", "unet"])
     p.add_argument("--segtran", dest="segtran_type", default="3d",
                    choices=["3d", "25d"])
+    p.add_argument("--spatialshard", dest="spatial_shard",
+                   action="store_true",
+                   help="shard whole-volume forwards H-over-all-devices "
+                        "(GSPMD; use with --wholevol on a multi-chip mesh)")
     p.add_argument("--wholevol", action="store_true",
                    help="single whole-volume forward instead of sliding "
                         "windows (pads to stride multiples; uses the "
@@ -154,9 +158,23 @@ def main(argv=None):
             params_i, bstats = params, rest.get("batch_stats", {})
         variables = {"params": params_i, "batch_stats": bstats}
 
-        @jax.jit
-        def model_fn(x):
-            return model.apply(variables, x, train=False)
+        if args.spatial_shard and len(jax.devices()) > 1:
+            # GSPMD whole-volume forward sharded H-over-all-chips
+            # (parallel/spatial.py; beyond the reference's per-GPU windows)
+            from ..parallel.mesh import make_mesh
+            from ..parallel.spatial import sharded_whole_volume_apply
+            n = len(jax.devices())
+            mesh = make_mesh(n, axes=("data", "model"), shape=(1, n))
+            _sharded_fn, _vol_sharding = sharded_whole_volume_apply(
+                model, mesh)
+
+            def model_fn(x):
+                return _sharded_fn(variables,
+                                   jax.device_put(x, _vol_sharding))
+        else:
+            @jax.jit
+            def model_fn(x):
+                return model.apply(variables, x, train=False)
 
         meters = AverageMeters()
         saved = []
