@@ -125,6 +125,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="override task patch_size (model input)")
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--ndevices", type=int, default=-1)
+    p.add_argument("--tp", dest="tensor_parallel", type=int, default=1,
+                   help="model-axis size for tensor-parallel weight "
+                        "sharding (2D data x model mesh)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (recommended on TPU)")
     p.add_argument("--remat", action="store_true",
@@ -443,6 +446,12 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    if args.tensor_parallel > 1:
+        # fail before the multi-minute model init
+        _n = args.ndevices if args.ndevices > 0 else len(jax.devices())
+        if _n % args.tensor_parallel:
+            raise ValueError(f"--tp {args.tensor_parallel} must divide "
+                             f"device count {_n}")
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_input_size", args.orig_input_size),
                             ("patch_size", args.patch_size)):
@@ -580,13 +589,27 @@ def main(argv=None):
 
     # ---- mesh & step ----
     n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
-    mesh = make_mesh(n_dev)
     step_fn = make_full_step(model, tx, task, args, aug_cfg,
                              tuple(task["patch_size"]),
                              disc_model=disc_model, recon_model=recon_model)
-    sharded_step = shard_train_step(step_fn, mesh, donate_state=True)
-    state = replicate_to_mesh(state, mesh)
-    logger.info("mesh: %s devices, global batch %d", n_dev, args.batch_size)
+    tp = max(args.tensor_parallel, 1)
+    if tp > 1:
+        if n_dev % tp:
+            raise ValueError(f"--tp {tp} must divide device count {n_dev}")
+        # (data x model) mesh with GSPMD weight sharding of the big kernels
+        from ..parallel.tensor_parallel import (shard_state_to_mesh,
+                                                shard_train_step_2d)
+        mesh = make_mesh(n_dev, axes=("data", "model"),
+                         shape=(n_dev // tp, tp))
+        state, state_spec = shard_state_to_mesh(state, mesh)
+        sharded_step = shard_train_step_2d(step_fn, mesh, state_spec,
+                                           donate_state=True)
+    else:
+        mesh = make_mesh(n_dev)
+        sharded_step = shard_train_step(step_fn, mesh, donate_state=True)
+        state = replicate_to_mesh(state, mesh)
+    logger.info("mesh: %s devices (tp=%d), global batch %d", n_dev, tp,
+                args.batch_size)
 
     # ---- TB ----
     try:
