@@ -677,12 +677,16 @@ def main(argv=None):
                 meters.reset_disp()
             if iter_num % args.saveiter == 0 or iter_num >= args.maxiter:
                 host_state = jax.device_get(state)
+                # async: serialization overlaps the next train steps
                 save_checkpoint(ckpt_dir, iter_num, host_state.params,
-                                host_state.batch_stats, cfg=cfg)
+                                host_state.batch_stats, cfg=cfg,
+                                async_save=True)
                 logger.info("saved iter_%d", iter_num)
             if iter_num >= args.maxiter:
                 break
         epoch += 1
+    from ..train.checkpoint import wait_for_saves
+    wait_for_saves()
     logger.info("done: %d iters in %.1fs", iter_num, time.time() - t0)
     return ckpt_dir
 

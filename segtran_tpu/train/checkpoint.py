@@ -36,8 +36,29 @@ def _config_snapshot(cfg) -> Dict[str, Any]:
             if isinstance(v, (int, float, str, bool, tuple, list, type(None)))}
 
 
+_async_ckptr = None
+
+
+def _get_async_ckptr():
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves():
+    """Block until every async save has committed to disk. Call before
+    process exit and before restoring a just-saved checkpoint."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def save_checkpoint(ckpt_dir: str, step: int, params, batch_stats=None,
-                    opt_state=None, cfg=None):
+                    opt_state=None, cfg=None, async_save: bool = False):
+    """async_save=True returns immediately after snapshotting the arrays to
+    host; serialization overlaps subsequent train steps (the reference's
+    torch.save blocks training for the full write, train2d.py:640-648).
+    Callers must wait_for_saves() before exiting or reloading."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {"params": params}
@@ -45,9 +66,11 @@ def save_checkpoint(ckpt_dir: str, step: int, params, batch_stats=None,
         payload["batch_stats"] = batch_stats
     if opt_state is not None:
         payload["opt_state"] = opt_state
-    ckptr = ocp.PyTreeCheckpointer()
     path = os.path.join(ckpt_dir, f"iter_{step}")
-    ckptr.save(path, payload, force=True)
+    if async_save:
+        _get_async_ckptr().save(path, payload, force=True)
+    else:
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
     if cfg is not None:
         with open(os.path.join(ckpt_dir, f"iter_{step}.config.json"),
                   "w") as f:

@@ -158,3 +158,18 @@ def test_train2d_cli_tensor_parallel(tmp_path):
         main(["--task", "fundus", "--dataroot", str(data_root),
               "--ckptdir", str(tmp_path / "m2"), "--ndevices", "8",
               "--tp", "3"])
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    from segtran_tpu.train.checkpoint import (load_checkpoint,
+                                              save_checkpoint,
+                                              wait_for_saves)
+    params = {"w": jnp.arange(12.0).reshape(3, 4)}
+    stats = {"bn": {"mean": jnp.ones(4)}}
+    path = save_checkpoint(str(tmp_path), 3, params, stats, async_save=True)
+    wait_for_saves()
+    payload = load_checkpoint(path)
+    np.testing.assert_array_equal(payload["params"]["w"],
+                                  np.arange(12.0).reshape(3, 4))
+    np.testing.assert_array_equal(payload["batch_stats"]["bn"]["mean"],
+                                  np.ones(4))
