@@ -128,6 +128,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tp", dest="tensor_parallel", type=int, default=1,
                    help="model-axis size for tensor-parallel weight "
                         "sharding (2D data x model mesh)")
+    p.add_argument("--fused", dest="use_fused_attention",
+                   action="store_true",
+                   help="Pallas flash attention forward+backward in the "
+                        "squeezed transformer (wins for large token counts)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (recommended on TPU)")
     p.add_argument("--remat", action="store_true",
@@ -484,6 +488,13 @@ def main(argv=None):
 
     # ---- model / optimizer ----
     model, cfg = build_model_and_config(args, task)
+    if getattr(args, "use_fused_attention", False) and cfg is not None \
+            and cfg.attention_probs_dropout_prob > 0:
+        # attention.py gates the fused path on deterministic-or-no-dropout;
+        # with attention dropout the XLA path runs every training step
+        logger.warning("--fused is inert during training with attention "
+                       "dropout %.2f; pass --dropout 0 to engage the flash "
+                       "kernels", cfg.attention_probs_dropout_prob)
     net_set = NET_SETTINGS.get(args.net, NET_SETTINGS["unet-like"])
     lr = args.lr if args.lr > 0 else net_set["lr"]
     decay = args.decay if args.decay >= 0 else net_set["decay"]

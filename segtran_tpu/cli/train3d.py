@@ -73,6 +73,10 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--ndevices", type=int, default=-1)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fused", dest="use_fused_attention",
+                   action="store_true",
+                   help="Pallas flash attention forward+backward in the "
+                        "squeezed transformer (wins for large token counts)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches in HBM)")
     return p
@@ -102,6 +106,12 @@ def main(argv=None):
     logger.info("%d training volumes", len(dataset))
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if getattr(args, "use_fused_attention", False) and args.dropout_prob > 0:
+        # attention.py gates the fused path on deterministic-or-no-dropout;
+        # with attention dropout the XLA path runs every training step
+        logger.warning("--fused is inert during training with attention "
+                       "dropout %.2f; pass --dropout 0 to engage the flash "
+                       "kernels", args.dropout_prob)
     compress = tuple(
         float(x) for x in (args.translayer_compress_ratios or
                            ",".join(["1"] * (args.num_translayers + 1))
@@ -116,6 +126,7 @@ def main(argv=None):
         hidden_dropout_prob=args.dropout_prob,
         attention_probs_dropout_prob=args.dropout_prob,
         remat=getattr(args, "remat", False),
+        use_fused_attention=getattr(args, "use_fused_attention", False),
         dtype=dtype,
     ).derive(translayer_compress_ratios=compress)
     model = (Segtran3d(cfg) if args.segtran_type == "3d"

@@ -40,8 +40,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                 sm_scale: float, clip: float, n_valid: int, tile_n: int):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                 *, sm_scale: float, clip: float, n_valid: int, tile_n: int):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -79,6 +79,54 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(j == nj - 1)
     def _finish():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+
+
+def _fused_forward(q, k, v, attn_clip, sm_scale, tile_q, tile_n, interpret):
+    """Shared pallas_call: returns (out [G, Q_pad, F], lse [G, Q_pad, 1]).
+    Caller slices out[:, :Q]."""
+    g, nq, d = q.shape
+    n = k.shape[1]
+    f = v.shape[2]
+    tile_q = min(tile_q, _round_up(nq, 128))
+    tile_n = min(tile_n, _round_up(n, 128))
+    q_pad = _round_up(nq, tile_q)
+    n_pad = _round_up(n, tile_n)
+    if q_pad != nq:
+        q = jnp.pad(q, ((0, 0), (0, q_pad - nq), (0, 0)))
+    if n_pad != n:
+        k = jnp.pad(k, ((0, 0), (0, n_pad - n), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    grid = (g, q_pad // tile_q, n_pad // tile_n)
+    kernel = functools.partial(_attn_kernel, sm_scale=sm_scale,
+                               clip=attn_clip, n_valid=n, tile_n=tile_n)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tile_n, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, tile_n, f), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, f), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tile_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, q_pad, f), v.dtype),
+            jax.ShapeDtypeStruct((g, q_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, 1), jnp.float32),
+            pltpu.VMEM((tile_q, 1), jnp.float32),
+            pltpu.VMEM((tile_q, f), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse
 
 
 def fused_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -95,72 +143,198 @@ def fused_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if interpret is None:
         # compiled Mosaic kernels need a TPU; interpret elsewhere (tests)
         interpret = jax.default_backend() != "tpu"
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    out, _ = _fused_forward(q, k, v, attn_clip, sm_scale, tile_q, tile_n,
+                            interpret)
+    return out[:, :q.shape[1]]
+
+
+# Below this many tokens the score matrix fits comfortably in VMEM/caches and
+# XLA's fused backward is competitive; the flash backward wins beyond it.
+FLASH_BWD_MIN_N = 4096
+
+
+def _bwd_common(q, k, v, do, lse, delta, *, sm_scale, clip, n_valid, tile_n,
+                nq_valid, tile_q, j_axis):
+    """Recompute p/ds for one (Q-tile, N-tile) cell; shared by both kernels.
+    Returns (p [TQ,TN] f32, ds [TQ,TN] f32)."""
+    s_raw = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    s_raw = s_raw * sm_scale
+    inside = (jnp.abs(s_raw) < clip).astype(jnp.float32)
+    s = jnp.clip(s_raw, -clip, clip)
+    # zero out padded keys / padded queries
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + \
+        pl.program_id(j_axis[1]) * tile_n
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + \
+        pl.program_id(j_axis[0]) * tile_q
+    valid = (col < n_valid) & (row < nq_valid)
+    p = jnp.exp(s - lse) * valid       # exp(-inf-ish) handled by mask
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * inside * sm_scale
+    return p, ds
+
+
+def _dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                 dk_ref, dv_ref, dk_scr, dv_scr, *, sm_scale, clip, n_valid,
+                 tile_n, nq_valid, tile_q):
+    j = pl.program_id(2)               # walks Q tiles
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    p, ds = _bwd_common(q, k, v, do, lse_ref[0], delta_ref[0],
+                        sm_scale=sm_scale, clip=clip, n_valid=n_valid,
+                        tile_n=tile_n, nq_valid=nq_valid, tile_q=tile_q,
+                        j_axis=(2, 1))
+    dv_scr[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               dq_scr, *, sm_scale, clip, n_valid, tile_n, nq_valid, tile_q):
+    j = pl.program_id(2)               # walks N tiles
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    _, ds = _bwd_common(q, k, v, do, lse_ref[0], delta_ref[0],
+                        sm_scale=sm_scale, clip=clip, n_valid=n_valid,
+                        tile_n=tile_n, nq_valid=nq_valid, tile_q=tile_q,
+                        j_axis=(1, 2))
+    dq_scr[:] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, do, lse_pad, delta_pad, attn_clip, sm_scale,
+                    tile_q, tile_n, interpret):
+    """Flash backward: recompute p tile-by-tile from the saved logsumexp
+    instead of materializing the [G, Q, N] score matrix (the classic
+    flash-attention backward, with the reference's clamp zero-gradient
+    region folded in). O(Q + N) HBM traffic like the forward."""
     g, nq, d = q.shape
     n = k.shape[1]
     f = v.shape[2]
-    if sm_scale is None:
-        sm_scale = 1.0 / math.sqrt(d)
     tile_q = min(tile_q, _round_up(nq, 128))
     tile_n = min(tile_n, _round_up(n, 128))
     q_pad = _round_up(nq, tile_q)
     n_pad = _round_up(n, tile_n)
     if q_pad != nq:
         q = jnp.pad(q, ((0, 0), (0, q_pad - nq), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, q_pad - nq), (0, 0)))
     if n_pad != n:
         k = jnp.pad(k, ((0, 0), (0, n_pad - n), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    grid = (g, q_pad // tile_q, n_pad // tile_n)
-    kernel = functools.partial(_attn_kernel, sm_scale=sm_scale,
-                               clip=attn_clip, n_valid=n, tile_n=tile_n)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
+    common = dict(sm_scale=sm_scale, clip=attn_clip, n_valid=n,
+                  tile_n=tile_n, nq_valid=nq, tile_q=tile_q)
+    qspec = pl.BlockSpec((1, tile_q, d), lambda b, i, j: (b, j, 0))
+    dospec = pl.BlockSpec((1, tile_q, f), lambda b, i, j: (b, j, 0))
+    lspec = pl.BlockSpec((1, tile_q, 1), lambda b, i, j: (b, j, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel, **common),
+        grid=(g, n_pad // tile_n, q_pad // tile_q),
         in_specs=[
-            pl.BlockSpec((1, tile_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, tile_n, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, tile_n, f), lambda b, i, j: (b, j, 0)),
+            qspec,
+            pl.BlockSpec((1, tile_n, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tile_n, f), lambda b, i, j: (b, i, 0)),
+            dospec, lspec, lspec,
         ],
-        out_specs=pl.BlockSpec((1, tile_q, f), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, q_pad, f), v.dtype),
+        out_specs=[
+            pl.BlockSpec((1, tile_n, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, tile_n, f), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((g, n_pad, f), v.dtype),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((tile_q, 1), jnp.float32),
-            pltpu.VMEM((tile_q, 1), jnp.float32),
-            pltpu.VMEM((tile_q, f), jnp.float32),
+            pltpu.VMEM((tile_n, d), jnp.float32),
+            pltpu.VMEM((tile_n, f), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v)
-    return out[:, :nq]
+    )(q, k, v, do, lse_pad, delta_pad)
+
+    qspec2 = pl.BlockSpec((1, tile_q, d), lambda b, i, j: (b, i, 0))
+    dospec2 = pl.BlockSpec((1, tile_q, f), lambda b, i, j: (b, i, 0))
+    lspec2 = pl.BlockSpec((1, tile_q, 1), lambda b, i, j: (b, i, 0))
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **common),
+        grid=(g, q_pad // tile_q, n_pad // tile_n),
+        in_specs=[
+            qspec2,
+            pl.BlockSpec((1, tile_n, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, tile_n, f), lambda b, i, j: (b, j, 0)),
+            dospec2, lspec2, lspec2,
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, q_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v, do, lse_pad, delta_pad)
+    return dq[:, :nq], dk[:, :n], dv[:, :n]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_cross_attention_trainable(q, k, v, attn_clip=500.0,
                                     sm_scale=None):
-    """Differentiable wrapper: Pallas forward, recompute-based XLA backward
-    (the backward materializes the score matrix; memory-optimal flash
-    backward is a follow-up). Gradients match jax.grad through
+    """Differentiable wrapper: Pallas flash forward + flash backward (for
+    N >= FLASH_BWD_MIN_N; smaller sizes use the XLA recompute backward which
+    is competitive there). Gradients match jax.grad through
     cross_attention_reference, including the clamp's zero-gradient region."""
     return fused_cross_attention(q, k, v, attn_clip=attn_clip,
                                  sm_scale=sm_scale)
 
 
 def _fca_fwd(q, k, v, attn_clip, sm_scale):
-    out = fused_cross_attention(q, k, v, attn_clip=attn_clip,
-                                sm_scale=sm_scale)
-    return out, (q, k, v)
-
-
-def _fca_bwd(attn_clip, sm_scale, res, g):
-    q, k, v = res
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    out, lse = _fused_forward(q, k, v, attn_clip, scale, 256, 512, interpret)
+    nq = q.shape[1]
+    if k.shape[1] < FLASH_BWD_MIN_N:
+        # XLA recompute backward: (q, k, v) residuals only -- don't retain
+        # the output/lse activations for nothing
+        return out[:, :nq], (q, k, v, None, None)
+    return out[:, :nq], (q, k, v, out[:, :nq], lse)
+
+
+def _fca_bwd_xla(q, k, v, do, attn_clip, scale):
     s_raw = jnp.einsum("gqd,gnd->gqn", q, k,
                        preferred_element_type=jnp.float32) * scale
     inside = (jnp.abs(s_raw) < attn_clip).astype(jnp.float32)
     s = jnp.clip(s_raw, -attn_clip, attn_clip)
     p = jax.nn.softmax(s, axis=-1)
-    g32 = g.astype(jnp.float32)
+    g32 = do.astype(jnp.float32)
     v32 = v.astype(jnp.float32)
     dv = jnp.einsum("gqn,gqf->gnf", p, g32)
     dp = jnp.einsum("gqf,gnf->gqn", g32, v32)
@@ -169,6 +343,23 @@ def _fca_bwd(attn_clip, sm_scale, res, g):
     dq = jnp.einsum("gqn,gnd->gqd", ds, k.astype(jnp.float32))
     dk = jnp.einsum("gqn,gqd->gnd", ds, q.astype(jnp.float32))
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+def _fca_bwd(attn_clip, sm_scale, res, g):
+    q, k, v, o, lse = res
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    n = k.shape[1]
+    if n < FLASH_BWD_MIN_N:
+        return _fca_bwd_xla(q, k, v, g, attn_clip, scale)
+    nq = q.shape[1]
+    q_pad = lse.shape[1]
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)                       # [G, Q, 1]
+    if q_pad != nq:
+        delta = jnp.pad(delta, ((0, 0), (0, q_pad - nq), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    return _flash_bwd_impl(q, k, v, g, lse, delta, attn_clip, scale,
+                           256, 512, interpret)
 
 
 fused_cross_attention_trainable.defvjp(_fca_fwd, _fca_bwd)

@@ -58,3 +58,62 @@ def test_fused_attention_gradients_match_reference():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("n_extra,dtype", [
+    (0, np.float32),        # N a tile multiple
+    (604, np.float32),      # padded N tile (col-masking branch)
+    (0, "bfloat16"),        # training dtype
+])
+def test_flash_backward_matches_reference(n_extra, dtype):
+    """N >= FLASH_BWD_MIN_N takes the Pallas flash backward (dQ/dK/dV
+    kernels recomputing p from the saved logsumexp); gradients must match
+    jax.grad through the XLA oracle."""
+    from segtran_tpu.kernels.squeezed_attention import (
+        FLASH_BWD_MIN_N, fused_cross_attention_trainable)
+    g, q, n, d, f = 2, 100, FLASH_BWD_MIN_N + n_extra, 32, 48
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    tol = dict(rtol=2e-4, atol=2e-5) if dt == jnp.float32 \
+        else dict(rtol=0.1, atol=2e-4)
+    rng = np.random.RandomState(3)
+    Q = jnp.asarray(rng.randn(g, q, d).astype(np.float32) * 0.2, dt)
+    K = jnp.asarray(rng.randn(g, n, d).astype(np.float32) * 0.2, dt)
+    V = jnp.asarray(rng.randn(g, n, f).astype(np.float32), dt)
+
+    def loss_fused(Q, K, V):
+        out = fused_cross_attention_trainable(Q, K, V)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(Q, K, V):
+        out = cross_attention_reference(Q, K, V)
+        return jnp.sum(out * jnp.cos(out))
+
+    gq, gk, gv = jax.grad(loss_fused, argnums=(0, 1, 2))(Q, K, V)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(Q, K, V)
+    for got, want in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32), **tol)
+
+
+def test_flash_backward_clamp_zero_gradient():
+    """Scores pushed past attn_clip must get zero gradient through the flash
+    backward, matching the clamp's derivative."""
+    from segtran_tpu.kernels.squeezed_attention import (
+        FLASH_BWD_MIN_N, fused_cross_attention_trainable)
+    g, q, n, d, f = 1, 64, FLASH_BWD_MIN_N, 16, 16
+    rng = np.random.RandomState(4)
+    Q = jnp.asarray(rng.randn(g, q, d).astype(np.float32) * 10.0)
+    K = jnp.asarray(rng.randn(g, n, d).astype(np.float32) * 10.0)
+    V = jnp.asarray(rng.randn(g, n, f).astype(np.float32))
+    clip = 1.0   # tiny clip: most scores saturate
+
+    def loss(fn, Q, K, V):
+        return jnp.sum(fn(Q, K, V, clip) ** 2)
+
+    gq = jax.grad(lambda a, b, c: loss(
+        fused_cross_attention_trainable, a, b, c))(Q, K, V)
+    rq = jax.grad(lambda a, b, c: loss(
+        lambda x, y, z, cl: cross_attention_reference(x, y, z, cl),
+        a, b, c))(Q, K, V)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                               rtol=2e-4, atol=2e-5)
