@@ -77,6 +77,9 @@ def build_argparser():
                    help="grayscale blend used at training time "
                         "(must match train2d --gray)")
     p.add_argument("--saveprobs", action="store_true")
+    p.add_argument("--outorigsize", dest="out_origsize", action="store_true",
+                   help="save masks at the original uncropped frame size "
+                        "(REFUGE submission format)")
     p.add_argument("--outdir", default=None, help="save predicted masks here")
     p.add_argument("--vcdr", dest="do_vcdr", action="store_true")
     p.add_argument("--bf16", action="store_true")
@@ -137,7 +140,8 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
     saved = []
     for batch in batch_iterator(dataset, args.batch_size, epoch=0,
                                 shuffle=False, drop_last=False,
-                                keys=("image", "mask", "index")):
+                                keys=("image", "mask", "index", "crop_pos",
+                                      "unscaled_size", "uncropped_size")):
         img = jnp.asarray(batch["image"])
         if getattr(args, "test_interp", None):
             # null-model interpolation floor (reference test_util2d.py:60-64)
@@ -184,7 +188,24 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
             for i, idx in enumerate(np.asarray(batch["index"])):
                 name = os.path.basename(dataset.image_list[int(idx)])
                 out_path = os.path.join(args.outdir, name)
-                Image.fromarray(raw[i]).save(out_path)
+                pred = raw[i]
+                if args.out_origsize:
+                    # reassemble the full uncropped frame: resize the crop
+                    # prediction back to its pre-resize size, paste at
+                    # crop_pos on a background canvas (reference
+                    # test_util2d.py:121-132)
+                    h0, w0 = (int(x) for x in batch["unscaled_size"][i])
+                    pred = np.asarray(Image.fromarray(pred).resize(
+                        (w0, h0), Image.NEAREST))
+                    unc = np.asarray(batch["uncropped_size"][i]).reshape(-1)
+                    if unc.size == 2 and int(unc[0]) > 0:
+                        cx, cy = (int(x) for x in batch["crop_pos"][i])
+                        bg = 255 if args.task_name == "fundus" else 0
+                        canvas = np.full((int(unc[0]), int(unc[1])), bg,
+                                         np.uint8)
+                        canvas[cx:cx + h0, cy:cy + w0] = pred
+                        pred = canvas
+                Image.fromarray(pred).save(out_path)
                 saved.append(out_path)
                 if args.saveprobs:
                     np.save(out_path + ".probs.npy",
@@ -228,10 +249,15 @@ def main(argv=None):
     logger = setup_logging(args.cpdir, "eval_log.txt")
 
     ds_cls = {"SegCrop": SegCrop, "SegWhole": SegWhole}[task["ds_class"]]
+    # --nomask wins; otherwise the per-dataset preset decides (e.g. REFUGE
+    # valid2/test2 and the gamma sets ship without annotations)
+    has_mask = getattr(args, "has_mask", True) and \
+        task.get("has_mask", {}).get(args.ds_name, True)
     dataset = ds_cls(
         base_dir=os.path.join(args.dataroot, args.task_name, args.ds_name),
         split=args.split, mask_num_classes=task["num_classes"],
-        has_mask=getattr(args, "has_mask", True),
+        has_mask=has_mask,
+        uncropped_size=task.get("uncropped_size", {}).get(args.ds_name, -1),
         binarize=task.get("binarize", False),
         out_size=task["orig_input_size"])
     logger.info("%d eval samples", len(dataset))

@@ -479,6 +479,9 @@ def main(argv=None):
             split=args.split, sample_num=args.sample_num,
             mask_num_classes=task["num_classes"],
             binarize=task.get("binarize", False),
+            has_mask=task.get("has_mask", {}).get(name, True),
+            ds_weight=task.get("ds_weight", {}).get(name, 1.0),
+            uncropped_size=task.get("uncropped_size", {}).get(name, -1),
             out_size=task["orig_input_size"], seed=args.seed))
     dataset = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
     logger.info("%d training samples", len(dataset))

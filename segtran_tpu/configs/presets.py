@@ -29,7 +29,27 @@ TASK_SETTINGS: Dict[str, Dict[str, Any]] = {
         "num_classes": 3,
         "bce_weight": (0.0, 1.0, 2.0),
         "ds_class": "SegCrop",
+        # full dataset roster incl. cross-domain DA targets
+        # (reference train2d.py:295-331)
         "ds_names": ("train",),
+        "all_ds_names": ("train", "valid", "test", "valid2", "test2",
+                         "drishti", "rim", "train-cyclegan", "rim-cyclegan",
+                         "gamma-train", "gamma-valid", "gamma-test"),
+        # -1 = varying sizes (reference train2d.py:299-311)
+        "uncropped_size": {"train": (2056, 2124), "test": (1634, 1634),
+                           "valid": (1634, 1634), "valid2": (1940, 1940),
+                           "test2": -1, "drishti": (2050, 1750),
+                           "rim": (2144, 1424),
+                           "train-cyclegan": (2056, 2124),
+                           "rim-cyclegan": (2144, 1424),
+                           "gamma-train": -1, "gamma-valid": -1,
+                           "gamma-test": -1},
+        "has_mask": {"train": True, "test": True, "valid": True,
+                     "valid2": False, "test2": False, "drishti": True,
+                     "rim": True, "train-cyclegan": True,
+                     "rim-cyclegan": True, "gamma-train": True,
+                     "gamma-valid": False, "gamma-test": False},
+        "ds_weight": {},             # all 1.0 in the reference
         "orig_input_size": (576, 576),
         "patch_size": (288, 288),
         "binarize": False,

@@ -59,6 +59,23 @@ def test_train2d_cli_end_to_end(tmp_path):
         ])
     assert time.time() - t0 < 30, "missing-checkpoint check ran after init"
 
+    # --outorigsize pastes crop predictions into the full uncropped frame
+    # (REFUGE submission format; reference test_util2d.py:121-132 +
+    # uncropped_size preset train2d.py:299-311)
+    outdir = tmp_path / "preds_orig"
+    eval_main([
+        "--task", "fundus", "--ds", "train", "--split", "all",
+        "--net", "segtran", "--bb", "eff-b0", "--translayers", "1",
+        "--attractors", "8", "--cpdir", ckpt_dir, "--iters", "4",
+        "--origsize", "128", "--patchsize", "64", "--outorigsize",
+        "--outdir", str(outdir), "--dataroot", str(data_root), "--bs", "2",
+    ])
+    from PIL import Image
+    pngs = sorted(outdir.glob("*.png"))
+    assert pngs, "no masks exported"
+    im = np.array(Image.open(pngs[0]))
+    assert im.shape == (2056, 2124), im.shape   # the fundus preset's frame
+
 
 @pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
                     reason="sample data not available")
