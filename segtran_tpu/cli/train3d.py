@@ -72,6 +72,9 @@ def build_argparser():
     p.add_argument("--ckptdir", default="./model")
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--ndevices", type=int, default=-1)
+    p.add_argument("--tp", dest="tensor_parallel", type=int, default=1,
+                   help="model-axis size for tensor-parallel weight "
+                        "sharding (2D data x model mesh)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true",
@@ -199,9 +202,21 @@ def main(argv=None):
                                jax.random.PRNGKey(args.seed + 1))
 
     n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
-    mesh = make_mesh(n_dev)
-    sharded_step = shard_train_step(step, mesh, donate_state=True)
-    state = replicate_to_mesh(state, mesh)
+    tp = max(args.tensor_parallel, 1)
+    if tp > 1:
+        if n_dev % tp:
+            raise ValueError(f"--tp {tp} must divide device count {n_dev}")
+        from ..parallel.tensor_parallel import (shard_state_to_mesh,
+                                                shard_train_step_2d)
+        mesh = make_mesh(n_dev, axes=("data", "model"),
+                         shape=(n_dev // tp, tp))
+        state, state_spec = shard_state_to_mesh(state, mesh)
+        sharded_step = shard_train_step_2d(step, mesh, state_spec,
+                                           donate_state=True)
+    else:
+        mesh = make_mesh(n_dev)
+        sharded_step = shard_train_step(step, mesh, donate_state=True)
+        state = replicate_to_mesh(state, mesh)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     batch_sharding = NamedSharding(mesh, P("data"))
