@@ -173,3 +173,24 @@ def test_async_checkpoint_roundtrip(tmp_path):
                                   np.arange(12.0).reshape(3, 4))
     np.testing.assert_array_equal(payload["batch_stats"]["bn"]["mean"],
                                   np.ones(4))
+
+
+def test_tensor_parallel_rule_edges():
+    """Shape-based sharding rule: small leaves, scalars, and
+    indivisible dims stay replicated; ties pick the widest divisible dim."""
+    from segtran_tpu.parallel.tensor_parallel import leaf_sharding_rule
+    mesh = make_mesh(8, axes=("data", "model"), shape=(2, 4))
+    rule = leaf_sharding_rule(mesh, min_size=1 << 14)
+    # scalar / vector / small kernel -> replicated
+    assert tuple(rule(jnp.zeros(())).spec) == ()
+    assert tuple(rule(jnp.zeros(1280)).spec) == ()
+    assert tuple(rule(jnp.zeros((64, 64))).spec) == ()
+    # big kernel: widest divisible dim sharded
+    assert tuple(rule(jnp.zeros((1280, 320))).spec) == ("model", None)
+    assert tuple(rule(jnp.zeros((320, 1280))).spec) == (None, "model")
+    # widest dim not divisible by 4 -> falls back to the next widest
+    assert tuple(rule(jnp.zeros((1283, 512))).spec) == (None, "model")
+    # nothing divisible -> replicated (P()) even if large
+    assert tuple(rule(jnp.zeros((1283, 517, 33))).spec) == ()
+    # 3D einsum kernel [M, F, F]
+    assert "model" in tuple(rule(jnp.zeros((4, 256, 256))).spec)
