@@ -1,31 +1,90 @@
-"""Benchmark: fundus segmentation throughput (imgs/sec/chip) on the flagship
-Segtran2d (eff-b4, 3 translayers, REFUGE recipe, 288x288 patches) -- the
-reference's headline 2D configuration (reference README.md:19-21).
+"""Benchmarks for the two BASELINE.json headline metrics, on one chip:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. fundus imgs/sec/chip -- Segtran2d forward (eff-b4, 3 translayers, REFUGE
+   recipe, 288x288 patches), the reference's headline 2D configuration
+   (reference README.md:19-21).
+2. BraTS whole-volume voxels/sec/chip -- Segtran3d forward on a full padded
+   160x192x144 BraTS volume in ONE jitted call with the fused squeezed
+   attention (no sliding-window loop at all; the reference runs a Python
+   triple loop of per-patch forwards, test_util3d.py:133-167).
 
-vs_baseline: the reference has no recorded throughput (SURVEY.md section 6);
-its FPS profiler (reference train2d.py:1055-1061) on the GPUs used for the
-paper runs this model at roughly 30 imgs/s (eff-b4 @ 288^2, bs 10, V100-class
--- estimated from the model's 35 GFLOPs/img and typical utilization). We use
-REFERENCE_GPU_IMGS_PER_SEC = 30.0 as the fixed denominator so the ratio is
-comparable across rounds.
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
+The fundus line is printed LAST (it was the round-1 headline metric).
+
+vs_baseline: the reference records no throughput (SURVEY.md section 6). The
+denominators are fixed estimates of the reference's V100-class throughput so
+the ratio is comparable across rounds:
+  * fundus: ~30 imgs/s (eff-b4 @ 288^2, bs 10 -- from the model's
+    35 GFLOPs/img and typical GPU utilization),
+  * brats: ~3.0 Mvox/s (per-patch python-loop sliding window at
+    112^2x96 patches, bs 4 -- same estimation method).
+Both are estimates, labelled here rather than in the metric name.
 """
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 REFERENCE_GPU_IMGS_PER_SEC = 30.0
+REFERENCE_GPU_VOXELS_PER_SEC = 3.0e6
 BATCH = 32
 WARMUP = 3
 ITERS = 20
+VOL_SHAPE = (160, 192, 144)   # padded BraTS'19 volume (240x240x155 cropped
+                              # to the brain bounding box, brats_processing)
+VOL_ITERS = 10
 
 
-def main():
-    from segtran_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+def _timeit(fn, args, warmup, iters):
+    t_c = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"[bench] compiled in {time.perf_counter()-t_c:.1f}s",
+          file=sys.stderr, flush=True)
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_brats_wholevol():
+    from segtran_tpu.configs import Segtran3dConfig
+    from segtran_tpu.models.segtran3d import Segtran3d
+    from segtran_tpu.nn.init import init_with_reference_schemes
+
+    cfg = Segtran3dConfig(
+        num_classes=4, num_attractors=1024, orig_in_channels=4,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        use_fused_attention=True, dtype=jnp.bfloat16,
+    ).derive(translayer_compress_ratios=(1.0, 1.0))
+    model = Segtran3d(cfg)
+    x = jnp.zeros((1, *VOL_SHAPE, 4), jnp.float32)
+    print(f"[bench] brats init... ({time.strftime('%H:%M:%S')})",
+          file=sys.stderr, flush=True)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, x)
+    variables = {"params": params, **rest}
+
+    @jax.jit
+    def fwd(variables, x):
+        return model.apply(variables, x, train=False)
+
+    dt = _timeit(fwd, (variables, x), WARMUP, VOL_ITERS)
+    vox_per_sec = VOL_SHAPE[0] * VOL_SHAPE[1] * VOL_SHAPE[2] / dt
+    print(json.dumps({
+        "metric": "brats_wholevol_voxels_per_sec_per_chip",
+        "value": round(vox_per_sec, 1),
+        "unit": "voxels/sec/chip",
+        "vs_baseline": round(vox_per_sec / REFERENCE_GPU_VOXELS_PER_SEC, 3),
+    }), flush=True)
+
+
+def bench_fundus():
     from segtran_tpu.configs import Segtran2dConfig
     from segtran_tpu.models import Segtran2d
     from segtran_tpu.nn.init import init_with_reference_schemes
@@ -37,38 +96,31 @@ def main():
     ).derive(translayer_compress_ratios=(1.0, 1.0, 2.0, 2.0))
     model = Segtran2d(cfg)
     x = jnp.zeros((BATCH, 288, 288, 3), jnp.float32)
+    print(f"[bench] fundus init... ({time.strftime('%H:%M:%S')})",
+          file=sys.stderr, flush=True)
     params, rest = init_with_reference_schemes(
         model, {"params": jax.random.PRNGKey(0)}, x[:1])
     variables = {"params": params, **rest}
-
-    import sys
-    print(f"[bench] params built, compiling... ({time.strftime('%H:%M:%S')})",
-          file=sys.stderr, flush=True)
 
     @jax.jit
     def fwd(variables, x):
         return model.apply(variables, x, train=False)
 
-    t_c = time.perf_counter()
-    out = fwd(variables, x)
-    jax.block_until_ready(out)
-    print(f"[bench] compiled in {time.perf_counter()-t_c:.1f}s",
-          file=sys.stderr, flush=True)
-    for _ in range(WARMUP):
-        jax.block_until_ready(fwd(variables, x))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    imgs_per_sec = BATCH * ITERS / dt
-
+    dt = _timeit(fwd, (variables, x), WARMUP, ITERS)
+    imgs_per_sec = BATCH / dt
     print(json.dumps({
         "metric": "fundus_segtran2d_effb4_288_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / REFERENCE_GPU_IMGS_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+
+def main():
+    from segtran_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    bench_brats_wholevol()
+    bench_fundus()
 
 
 if __name__ == "__main__":

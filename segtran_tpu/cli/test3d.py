@@ -20,7 +20,7 @@ import numpy as np
 
 from ..configs import Segtran3dConfig
 from ..configs.presets import TASK_SETTINGS
-from ..data.datasets3d import BratsSet, AtriaSet
+from ..data.datasets3d import BratsSet, AtriaSet, MSDSet
 from ..data.labelmaps3d import (brats_map_label, brats_inv_map_label,
                                 make_brats_pred_consistent)
 from ..data.labelmaps import harden_segmap, index_to_onehot
@@ -47,8 +47,17 @@ def build_argparser():
                    help="single whole-volume forward instead of sliding "
                         "windows (pads to stride multiples; uses the "
                         "squeezed transformer's O(N*A) scaling)")
-    p.add_argument("--ds", dest="ds_name", default="2019valid")
+    p.add_argument("--ds", dest="ds_name", default=None,
+                   help="dataset dir under dataroot/<task>/ "
+                        "(default: 2019valid for brats, test otherwise)")
     p.add_argument("--split", default="all")
+    p.add_argument("--nclasses", dest="num_classes", type=int, default=-1,
+                   help="override the task's class count (MSD tasks vary)")
+    p.add_argument("--mod", dest="chosen_modality", type=int, default=-1,
+                   help="modality channel to use when volumes are "
+                        "multi-modality (-1 = all; reference test3d.py:112)")
+    p.add_argument("--xyzpermute", dest="xyz_permute", default=None,
+                   help="spatial axis permutation, e.g. 1,2,0")
     p.add_argument("--dataroot", default="../data")
     p.add_argument("--translayers", dest="num_translayers", type=int,
                    default=1)
@@ -90,12 +99,26 @@ def main(argv=None):
             task[field] = tuple(int(v) for v in str(override).split(","))
     logger = setup_logging(args.cpdir, "eval3d_log.txt")
 
-    ds_cls = BratsSet if args.task_name == "brats" else AtriaSet
+    if args.num_classes > 0:
+        task["num_classes"] = args.num_classes
+        task["binarize"] = args.num_classes == 2
+    ds_name = args.ds_name or ("2019valid" if args.task_name == "brats"
+                               else "test")
+    xyz_permute = (tuple(int(v) for v in args.xyz_permute.split(","))
+                   if args.xyz_permute
+                   else task.get("xyz_permute", None))
+    ds_cls = {"brats": BratsSet, "atria": AtriaSet,
+              "msd": MSDSet}[args.task_name]
     dataset = ds_cls(
-        base_dir=os.path.join(args.dataroot, args.task_name, args.ds_name),
+        base_dir=os.path.join(args.dataroot, args.task_name, ds_name),
         split=args.split, mode="test", crop_size=None,
-        binarize=task.get("binarize", False))
+        binarize=task.get("binarize", False),
+        chosen_modality=args.chosen_modality, xyz_permute=xyz_permute)
     logger.info("%d eval volumes", len(dataset))
+    if task["orig_in_channels"] == -1:
+        task["orig_in_channels"] = (1 if args.chosen_modality != -1
+                                    else max(dataset.num_modalities, 1))
+        logger.info("orig_in_channels probed: %d", task["orig_in_channels"])
 
     # Validate checkpoint paths BEFORE model init: a missing iter should fail
     # in milliseconds, not after the multi-minute init/compile.

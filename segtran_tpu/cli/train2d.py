@@ -110,7 +110,21 @@ def build_argparser() -> argparse.ArgumentParser:
                    action="store_true")
     p.add_argument("--attnconsistweight", dest="attn_consist_w", type=float,
                    default=0.01)
-    p.add_argument("--vcdrweight", dest="vcdr_w", type=float, default=0.0)
+    p.add_argument("--vcdr", dest="vcdr_estim_scheme", default="none",
+                   choices=["none", "single", "sep"],
+                   help="learned vCDR estimator scheme, fundus only "
+                        "(reference train2d.py:150-163): 'single' trains one "
+                        "estimator CNN on the predicted probs, 'sep' trains "
+                        "separate cup/disc estimators whose ratio is the vCDR")
+    p.add_argument("--vcdrweight", dest="vcdr_w", type=float, default=0.01)
+    p.add_argument("--vcdrestimstart", dest="vcdr_estim_start", type=int,
+                   default=1000,
+                   help="iteration to start the estimator loss (reference "
+                        "train2d.py:158-159)")
+    p.add_argument("--vcdrnetstart", dest="vcdr_net_start", type=int,
+                   default=1100,
+                   help="iteration to start the net vCDR loss (reference "
+                        "train2d.py:161-162)")
     p.add_argument("--sourceopt", dest="poly_source_opt", default="allpoly")
     p.add_argument("--targetopt", dest="poly_target_opt", default="k")
     p.add_argument("--bnopt", dest="bn_opt_scheme", default=None,
@@ -265,25 +279,60 @@ class _PraNetForTraining:
         return jnp.concatenate([bg, lat2], axis=-1)
 
 
+def _grid_hw(inter):
+    """The real (h2, w2) FPN token grid, from the sown spatial in_fpn_feat --
+    non-square tasks (e.g. oct 288x512) must NOT assume sqrt(N) (round-1
+    square-grid bug)."""
+    t = inter.get("intermediates", inter)
+    if "in_fpn_feat" in t:
+        f = t["in_fpn_feat"][0]
+        return f.shape[1], f.shape[2]
+    return None
+
+
+def _da_feature(inter):
+    """The reference's net.feature_maps[-1] (train2d.py:1259-1286): the last
+    transformer layer's tokens, reshaped onto the real FPN grid."""
+    t = inter.get("intermediates", inter)
+    if "pre_outc_feat" in t:
+        return t["pre_outc_feat"][0]
+    vf = t.get("voxel_fusion", {})
+    layer_keys = sorted((k for k in vf if k.startswith("layer_")
+                         and k.endswith("_vfeat")),
+                        key=lambda k: int(k.split("_")[1]))
+    if layer_keys:
+        feat = vf[layer_keys[-1]][0]   # [B, N, C]
+        n = feat.shape[1]
+        hw = _grid_hw(inter)
+        if hw is None:
+            side = int(n ** 0.5)
+            hw = (side, n // side)
+        return feat.reshape(feat.shape[0], hw[0], hw[1], -1)
+    return t["in_fpn_feat"][0]
+
+
 def make_full_step(model, tx, task, args, aug_cfg, patch_size,
-                   disc_model=None, recon_model=None):
+                   disc_model=None, recon_model=None, vcdr_models=None):
     """Train step over RAW batches: on-device label map -> augment ->
     downscale to patch_size -> model -> loss [+ attention consistency,
-    reconstruction, domain-adversarial losses -- reference
+    reconstruction, domain-adversarial, vCDR-estimation losses -- reference
     train2d.py:1228-1318].
 
-    With DA/recon, state.params is {'net', 'discriminator'?, 'recon'?} and
-    state.batch_stats mirrors that split.
+    With DA/recon/vCDR, state.params is {'net', 'discriminator'?, 'recon'?,
+    'vcdr_estim'? | 'vc_estim'?+'vd_estim'?} and state.batch_stats mirrors
+    that split.
     """
     import optax
     from ..train.da import (attention_consistency_loss,
-                            domain_adversarial_loss)
+                            domain_adversarial_loss,
+                            vcdr_estimation_losses)
     loss_fn = make_loss_fn(task["num_classes"], task["bce_weight"],
                            dice_w=args.max_dice_w,
                            focus_class=args.focus_class)
     task_name = args.task_name
-    has_aux = disc_model is not None or recon_model is not None
-    need_inter = (has_aux and args.adversarial_mode == "feat") \
+    has_aux = (disc_model is not None or recon_model is not None
+               or bool(vcdr_models))
+    need_inter = (disc_model is not None and args.adversarial_mode == "feat") \
         or args.use_attn_consist_loss or recon_model is not None
 
     def map_mask(raw_mask):
@@ -292,21 +341,6 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
         if task_name == "polyp":
             return polyp_map_mask(raw_mask)
         return index_to_onehot(raw_mask[..., 0], task["num_classes"])
-
-    def _da_feature(inter):
-        """The reference's net.feature_maps[-1]."""
-        t = inter.get("intermediates", inter)
-        if "pre_outc_feat" in t:
-            return t["pre_outc_feat"][0]
-        vf = t.get("voxel_fusion", {})
-        layer_keys = sorted(k for k in vf if k.startswith("layer_")
-                            and k.endswith("_vfeat"))
-        if layer_keys:
-            feat = vf[layer_keys[-1]][0]   # [B, N, C]
-            n = feat.shape[1]
-            side = int(n ** 0.5)
-            return feat.reshape(feat.shape[0], side, n // side, -1)
-        return t["in_fpn_feat"][0]
 
     def _attn_scores(inter):
         vf = inter.get("intermediates", inter).get("voxel_fusion", {})
@@ -359,15 +393,18 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
             if args.use_attn_consist_loss:
                 scores = _attn_scores(mstate)
                 if scores:
-                    feat_n = scores[-1][1].shape[-2] if isinstance(
-                        scores[-1], tuple) else scores[-1].shape[-1]
-                    side = int(feat_n ** 0.5)
-                    ac = attention_consistency_loss(
-                        scores, mask, (side, feat_n // side))
+                    hw = _grid_hw(mstate)
+                    if hw is None:
+                        feat_n = scores[-1][1].shape[-2] if isinstance(
+                            scores[-1], tuple) else scores[-1].shape[-1]
+                        side = int(feat_n ** 0.5)
+                        hw = (side, feat_n // side)
+                    ac = attention_consistency_loss(scores, mask, hw)
                     loss = loss + args.attn_consist_w * ac
                     metrics["attn_consist_loss"] = ac
             if has_aux:
                 all_bstats = {"net": new_bstats}
+            if disc_model is not None or recon_model is not None:
                 feat_t = _da_feature(mstate)
                 if recon_model is not None:
                     reconed = recon_model.apply(
@@ -422,6 +459,41 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                     loss = loss + args.domain_loss_w * dl
                     metrics["domain_loss"] = dl
                     all_bstats["discriminator"] = disc_apply.dstats
+            if vcdr_models:
+                # learned vCDR estimation losses (reference
+                # train2d.py:1288-1312); start-iteration gates become 0/1
+                # multipliers on the traced step counter
+                probs_full = jax.nn.sigmoid(resize_linear(
+                    logits, mask.shape[1:3]).astype(jnp.float32))
+                vstats_out = {}
+
+                def estimate(x):
+                    """reference estimate_vcdr (train2d.py:655-664)."""
+                    preds = []
+                    for nm, m in vcdr_models.items():
+                        out, vst = m.apply(
+                            {"params": params[nm],
+                             "batch_stats": state.batch_stats.get(nm, {})},
+                            x, train=True, mutable=["batch_stats"])
+                        vstats_out[nm] = vst["batch_stats"]
+                        preds.append(out[:, 0])
+                    raw = (preds[0] / (preds[1] + 1e-6) if len(preds) == 2
+                           else preds[0])
+                    return jax.nn.sigmoid(raw)
+
+                vl = vcdr_estimation_losses(estimate, probs_full, mask)
+                on_estim = (state.step >= args.vcdr_estim_start).astype(
+                    jnp.float32)
+                on_net = (state.step >= args.vcdr_net_start).astype(
+                    jnp.float32)
+                vcdr_loss = on_estim * (vl["vcdr_estim_loss"]
+                                        + on_net * vl["vcdr_net_loss"])
+                loss = loss + args.vcdr_w * vcdr_loss
+                metrics["vcdr_loss"] = vcdr_loss
+                metrics["vcdr_estim_loss"] = vl["vcdr_estim_loss"]
+                metrics["vcdr_net_loss"] = vl["vcdr_net_loss"]
+                for nm in vcdr_models:
+                    all_bstats[nm] = vstats_out[nm]
             metrics["loss"] = loss
             # small previews for TensorBoard image grids (reference logs
             # input/pred/gt grids every 50 iters, train2d.py:1354-1372)
@@ -552,9 +624,11 @@ def main(argv=None):
                              warmup_ratio=warmup_ratio, grad_clip=grad_clip)
 
     # ---- auxiliary DA modules (reference train2d.py:884-932) ----
-    disc_model = recon_model = None
+    disc_model = recon_model = vcdr_models = None
     source_dataset = None
-    if args.adversarial_mode or args.recon_w > 0:
+    use_vcdr = (args.task_name == "fundus"
+                and args.vcdr_estim_scheme != "none")
+    if args.adversarial_mode or args.recon_w > 0 or use_vcdr:
         import flax.linen as fnn
         if args.net == "unet-scratch":
             feat_ch = 64
@@ -590,6 +664,23 @@ def main(argv=None):
             r_params = recon_model.init(
                 jax.random.PRNGKey(args.seed + 8),
                 jnp.zeros((1, 8, 8, feat_ch), jnp.float32))["params"]
+        if use_vcdr:
+            # "Abuse" the domain-discriminator CNN as the learned vCDR
+            # estimator (reference train2d.py:1034-1042): one estimator on
+            # the predicted probs ('single'), or separate cup/disc
+            # estimators whose ratio is the vCDR ('sep')
+            from ..models.discriminator import Discriminator
+            names = (("vc_estim", "vd_estim")
+                     if args.vcdr_estim_scheme == "sep" else ("vcdr_estim",))
+            vcdr_models, vcdr_inits = {}, {}
+            for i, nm in enumerate(names):
+                m = Discriminator(num_classes=1, do_avgpool=True,
+                                  do_revgrad=False)
+                v_params, v_rest = init_with_reference_schemes(
+                    m, {"params": jax.random.PRNGKey(args.seed + 9 + i)},
+                    jnp.zeros((1, 64, 64, task["num_classes"]), jnp.float32))
+                vcdr_models[nm] = m
+                vcdr_inits[nm] = (v_params, v_rest.get("batch_stats", {}))
         params = {"net": params}
         batch_stats = {"net": batch_stats}
         if disc_model is not None:
@@ -597,6 +688,10 @@ def main(argv=None):
             batch_stats["discriminator"] = d_rest.get("batch_stats", {})
         if recon_model is not None:
             params["recon"] = r_params
+        if vcdr_models:
+            for nm, (vp, vb) in vcdr_inits.items():
+                params[nm] = vp
+                batch_stats[nm] = vb
 
     state = create_train_state(params, batch_stats, tx,
                                jax.random.PRNGKey(args.seed + 1))
@@ -605,7 +700,8 @@ def main(argv=None):
     n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
     step_fn = make_full_step(model, tx, task, args, aug_cfg,
                              tuple(task["patch_size"]),
-                             disc_model=disc_model, recon_model=recon_model)
+                             disc_model=disc_model, recon_model=recon_model,
+                             vcdr_models=vcdr_models)
     tp = max(args.tensor_parallel, 1)
     if tp > 1:
         if n_dev % tp:

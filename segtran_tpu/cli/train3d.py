@@ -20,7 +20,7 @@ from ..configs import Segtran3dConfig, Segtran25dConfig
 from ..configs.presets import TASK_SETTINGS
 from ..data.augment import (random_noise_3d, random_resized_crop_3d,
                             random_rot_flip_3d)
-from ..data.datasets3d import BratsSet, AtriaSet
+from ..data.datasets3d import BratsSet, AtriaSet, MSDSet
 from ..data.labelmaps3d import brats_map_label
 from ..data.labelmaps import index_to_onehot
 from ..data.pipeline import batch_iterator, prefetch_to_device
@@ -39,8 +39,18 @@ from ..utils import AverageMeters, setup_logging
 def build_argparser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", dest="task_name", default="brats",
-                   choices=["brats", "atria"])
-    p.add_argument("--ds", dest="ds_name", default="2019train")
+                   choices=["brats", "atria", "msd"])
+    p.add_argument("--ds", dest="ds_name", default=None,
+                   help="dataset dir under dataroot/<task>/ "
+                        "(default: 2019train for brats, train otherwise)")
+    p.add_argument("--nclasses", dest="num_classes", type=int, default=-1,
+                   help="override the task's class count (MSD tasks vary)")
+    p.add_argument("--mod", dest="chosen_modality", type=int, default=-1,
+                   help="modality channel to use when volumes are "
+                        "multi-modality (-1 = all; reference test3d.py:112)")
+    p.add_argument("--xyzpermute", dest="xyz_permute", default=None,
+                   help="spatial axis permutation, e.g. 1,2,0 (reference "
+                        "train3d.py:228,261)")
     p.add_argument("--split", default="train", choices=["train", "all"])
     p.add_argument("--dataroot", default="../data")
     p.add_argument("--segtran", dest="segtran_type", default="3d",
@@ -100,13 +110,29 @@ def main(argv=None):
     logger = setup_logging(ckpt_dir)
     logger.info("args: %s", vars(args))
 
-    ds_cls = BratsSet if args.task_name == "brats" else AtriaSet
+    if args.num_classes > 0:
+        task["num_classes"] = args.num_classes
+        task["bce_weight"] = (0.0,) + (1.0,) * (args.num_classes - 1)
+        task["binarize"] = args.num_classes == 2   # reference train3d.py:264
+    ds_name = args.ds_name or ("2019train" if args.task_name == "brats"
+                               else "train")
+    xyz_permute = (tuple(int(v) for v in args.xyz_permute.split(","))
+                   if args.xyz_permute
+                   else task.get("xyz_permute", None))
+    ds_cls = {"brats": BratsSet, "atria": AtriaSet,
+              "msd": MSDSet}[args.task_name]
     dataset = ds_cls(
-        base_dir=os.path.join(args.dataroot, args.task_name, args.ds_name),
+        base_dir=os.path.join(args.dataroot, args.task_name, ds_name),
         split=args.split, mode="train",
         crop_size=tuple(task["orig_patch_size"]),
-        binarize=task.get("binarize", False), seed=args.seed)
+        binarize=task.get("binarize", False), seed=args.seed,
+        chosen_modality=args.chosen_modality, xyz_permute=xyz_permute)
     logger.info("%d training volumes", len(dataset))
+    if task["orig_in_channels"] == -1:
+        # probe the modality count from the data (reference test3d.py:257-260)
+        task["orig_in_channels"] = (1 if args.chosen_modality != -1
+                                    else max(dataset.num_modalities, 1))
+        logger.info("orig_in_channels probed: %d", task["orig_in_channels"])
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if getattr(args, "use_fused_attention", False) and args.dropout_prob > 0:
@@ -137,11 +163,18 @@ def main(argv=None):
 
     input_size = tuple(task["input_patch_size"])
     num_classes = task["num_classes"]
-    bce_weight = jnp.asarray(task["bce_weight"], jnp.float32).reshape(
-        (1, 1, 1, 1, num_classes))
+    binarize = task.get("binarize", False)
+    if binarize:
+        # reference train3d.py:514-515: binarized tasks use unweighted BCE
+        bce_weight = None
+    else:
+        bce_weight = jnp.asarray(task["bce_weight"], jnp.float32)
+        # rescale so the pos-weights sum to num_classes-1 (reference
+        # train3d.py:516-518)
+        bce_weight = bce_weight * (num_classes - 1) / jnp.sum(bce_weight)
+        bce_weight = bce_weight.reshape((1, 1, 1, 1, num_classes))
     class_weights = jnp.ones(num_classes).at[0].set(0.0)
     class_weights = class_weights / class_weights.sum()
-    binarize = task.get("binarize", False)
     dice_w = args.max_dice_w
     randscale = args.randscale
     noise_sigma = args.noise_sigma

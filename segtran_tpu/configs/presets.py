@@ -75,7 +75,8 @@ TASK_SETTINGS: Dict[str, Dict[str, Any]] = {
     # 3D tasks (reference train3d.py:218-255)
     "brats": {
         "num_classes": 4,
-        "bce_weight": (0.0, 1.0, 1.0, 1.0),
+        # bg, ET, WT, TC (reference train3d.py:222-223)
+        "bce_weight": (0.0, 3.0, 1.0, 1.75),
         "orig_in_channels": 4,
         "orig_patch_size": (112, 112, 96),
         "input_patch_size": (112, 112, 96),
@@ -88,6 +89,20 @@ TASK_SETTINGS: Dict[str, Dict[str, Any]] = {
         "orig_patch_size": (112, 112, 80),
         "input_patch_size": (112, 112, 80),
         "binarize": True,
+    },
+    # Medical Segmentation Decathlon (reference MSDSet datasets3d.py:210-329;
+    # msd_processing.py converts each task's nii.gz to h5). Class count and
+    # modality are per-decathlon-task: override with --nclasses / --mod.
+    "msd": {
+        "num_classes": 3,
+        "bce_weight": (0.0, 1.0, 1.0),
+        "orig_in_channels": -1,      # -1 = probe the h5 modality count
+                                     # (reference test3d.py:257-260)
+        "orig_patch_size": (112, 112, 80),
+        "input_patch_size": (112, 112, 80),
+        "binarize": False,
+        "chosen_modality": -1,
+        "xyz_permute": None,
     },
 }
 

@@ -75,6 +75,10 @@ class BratsSet:
     seed: int = 0
     image_key: str = "image"
     label_key: str = "label"
+    # choose one modality channel (-1 = all; reference datasets3d.py:218-226,
+    # 275-276) and/or permute the spatial axes (reference :410-413)
+    chosen_modality: int = -1
+    xyz_permute: Optional[Tuple[int, int, int]] = None
 
     def __post_init__(self):
         lp = os.path.join(self.base_dir, f"{self.split}.list")
@@ -85,6 +89,16 @@ class BratsSet:
         else:
             self.case_list = _read_list(lp)
         self._rng = np.random.RandomState(self.seed)
+
+    @property
+    def num_modalities(self) -> int:
+        """Modality count of the stored volumes (0 = single-channel file),
+        probed from case 0 like the reference (datasets3d.py:258-263)."""
+        if not hasattr(self, "_num_modalities"):
+            with h5py.File(self._path(self.case_list[0]), "r") as f:
+                shape = f[self.image_key].shape
+            self._num_modalities = 0 if len(shape) == 3 else min(shape)
+        return self._num_modalities
 
     def __len__(self):
         return len(self.case_list)
@@ -100,11 +114,20 @@ class BratsSet:
             image = np.asarray(f[self.image_key], np.float32)
             label = np.asarray(f[self.label_key]) if self.label_key in f \
                 else None
-        if image.ndim == 4 and image.shape[0] in (1, 2, 4):
-            # stored channels-first [C, H, W, D] -> channels-last
+        if image.ndim == 4 and image.shape[0] <= 8 \
+                and image.shape[0] < image.shape[-1]:
+            # stored channels-first [C, H, W, D] -> channels-last (reference
+            # BraTS h5; MSD h5 from nibabel is already modality-last)
             image = image.transpose(1, 2, 3, 0)
         elif image.ndim == 3:
             image = image[..., None]
+        if self.chosen_modality != -1 and image.shape[-1] > 1:
+            image = image[..., self.chosen_modality:self.chosen_modality + 1]
+        if self.xyz_permute is not None:
+            perm = tuple(self.xyz_permute)
+            image = image.transpose(perm + (3,))
+            if label is not None:
+                label = label.transpose(perm)
         if label is not None:
             if self.binarize:
                 # whole-tumor / LA segmentation (reference :400-401)
@@ -142,5 +165,37 @@ class AtriaSet(BratsSet):
 @dataclass
 class MSDSet(BratsSet):
     """Medical Segmentation Decathlon h5 volumes (reference :210-329).
-    No BraTS label remap -- MSD label spaces are task-specific."""
+    No BraTS label remap -- MSD label spaces are task-specific. When list
+    files are absent, splits are created from the decathlon dataset.json
+    (85/15 train/test, reference create_file_list :294-329)."""
     remap_label4: bool = False
+    train_test_split: float = 0.85
+
+    def __post_init__(self):
+        lp = os.path.join(self.base_dir, f"{self.split}.list")
+        jp = os.path.join(self.base_dir, "dataset.json")
+        if not os.path.isfile(lp) and os.path.isfile(jp):
+            self.create_file_list(jp)
+        super().__post_init__()
+
+    def create_file_list(self, json_path: str):
+        """Split the decathlon training roster into train/test/all lists
+        (reference :294-329; the official test set has no ground truth)."""
+        import json as _json
+        with open(json_path) as fp:
+            meta = _json.load(fp)
+        files = []
+        for entry in meta["training"][:meta["numTraining"]]:
+            name = entry["image"].replace(".nii.gz", ".h5")
+            if name.startswith("./"):
+                name = name[2:]
+            files.append(os.path.basename(name))
+        order = np.random.RandomState(self.seed).permutation(len(files))
+        n_train = int(np.floor(len(files) * self.train_test_split))
+        splits = {"train": sorted(files[i] for i in order[:n_train]),
+                  "test": sorted(files[i] for i in order[n_train:]),
+                  "all": sorted(files)}
+        for split, names in splits.items():
+            with open(os.path.join(self.base_dir, f"{split}.list"),
+                      "w") as f:
+                f.write("\n".join(names) + "\n")

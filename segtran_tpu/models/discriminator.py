@@ -28,6 +28,14 @@ class Discriminator(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: [B, H, W, C] -> [B, num_classes] domain logits."""
+        if min(x.shape[1], x.shape[2]) < 32:
+            # 5 stride-2 4x4 convs collapse anything smaller to a zero-size
+            # tensor (BatchNorm over it silently yields NaN); the reference's
+            # torch convs hard-error the same way ("Output size too small").
+            raise ValueError(
+                f"Discriminator input spatial dims {x.shape[1:3]} too small: "
+                "the 5 stride-2 convs need >= 32x32 (use --adv mask, or a "
+                "larger patch size, for small feature grids)")
         off = 1 if self.do_revgrad else 0
         if self.do_revgrad:
             x = gradient_reversal(x, self.revgrad_alpha)

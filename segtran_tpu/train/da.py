@@ -88,18 +88,23 @@ def domain_adversarial_loss(disc_apply, source_feat: jnp.ndarray,
     return weighted_bce_with_logits(scores, labels)
 
 
-def vcdr_estimation_losses(estimator_apply, probs: jnp.ndarray,
+def vcdr_estimation_losses(estimate, probs: jnp.ndarray,
                            gt_mask: jnp.ndarray) -> dict:
-    """vCDR losses (reference train2d.py:1288-1312): the estimator regresses
-    the hard-threshold vCDR of the prediction (estimator-only gradient), and
-    the estimator's output on live probs regresses the ground-truth vCDR
-    (gradients into both)."""
+    """vCDR losses (reference train2d.py:1288-1312).
+
+    estimate: callable [B,H,W,C] probs -> [B] sigmoided vCDR predictions
+    (the reference's estimate_vcdr, train2d.py:655-664 -- single-estimator or
+    sep vc/vd ratio, ending in .sigmoid()).
+
+    The estimator regresses the hard-threshold vCDR of the prediction
+    (estimator-only gradient: the estimator input is detached and calc_vcdr's
+    thresholding blocks gradients into the net), and the estimator's output on
+    live probs regresses the ground-truth vCDR (gradients into both)."""
     from ..ops.losses import calc_vcdr_batch
     vcdr_pred_hard = calc_vcdr_batch(probs)
-    vcdr_estim_nograd = estimator_apply(jax.lax.stop_gradient(probs))[:, 0]
+    vcdr_estim_nograd = estimate(jax.lax.stop_gradient(probs))
     estim_loss = jnp.mean(jnp.abs(vcdr_estim_nograd - vcdr_pred_hard))
     vcdr_gt = calc_vcdr_batch(gt_mask)
-    vcdr_estim = estimator_apply(probs)[:, 0]
+    vcdr_estim = estimate(probs)
     net_loss = jnp.mean(jnp.abs(vcdr_estim - vcdr_gt))
-    return {"vcdr_estim_loss": estim_loss, "vcdr_net_loss": net_loss,
-            "vcdr_loss": estim_loss + net_loss}
+    return {"vcdr_estim_loss": estim_loss, "vcdr_net_loss": net_loss}

@@ -81,8 +81,11 @@ def make_loss_fn(num_classes: int,
                  focus_class: int = -1) -> Callable:
     """(logits [B,H,W,C], mask [B,H,W,C]) -> (loss, metrics dict)."""
     class_weights = make_class_weights(num_classes, focus_class)
-    pos_weight = jnp.asarray(bce_weight, jnp.float32).reshape(
-        1, 1, 1, num_classes)
+    bce = jnp.asarray(bce_weight, jnp.float32)
+    # rescale so the pos-weights sum to num_classes-1 (reference
+    # train2d.py:814, train3d.py:516-518)
+    bce = bce * (num_classes - 1) / jnp.sum(bce)
+    pos_weight = bce.reshape(1, 1, 1, num_classes)
 
     def loss_fn(logits: jnp.ndarray, mask: jnp.ndarray):
         if logits.shape[1:3] != mask.shape[1:3]:

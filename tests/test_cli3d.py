@@ -112,3 +112,86 @@ def test_atria_train_and_eval(tmp_path):
         "--dataroot", root,
     ])
     assert all(np.isfinite(results[1]))
+
+
+def make_msd_fixture(root, n=4, shape=(48, 48, 16), modalities=2):
+    """Decathlon-style task dir: dataset.json + h5 volumes, NO list files
+    (MSDSet must create them from dataset.json, reference :294-329)."""
+    import json
+    ds_dir = os.path.join(root, "msd", "Task05_Prostate")
+    os.makedirs(ds_dir, exist_ok=True)
+    rng = np.random.RandomState(2)
+    training = []
+    for i in range(n):
+        name = f"prostate_{i:02d}"
+        # nibabel layout: modality-LAST [H, W, D, C]
+        img = rng.rand(*shape, modalities).astype(np.float32)
+        lab = np.zeros(shape, np.uint8)
+        lab[16:32, 16:32, 4:12] = 1
+        lab[20:28, 20:28, 6:10] = 2
+        with h5py.File(os.path.join(ds_dir, name + ".h5"), "w") as f:
+            f.create_dataset("image", data=img)
+            f.create_dataset("label", data=lab)
+        training.append({"image": f"./imagesTr/{name}.nii.gz",
+                         "label": f"./labelsTr/{name}.nii.gz"})
+    with open(os.path.join(ds_dir, "dataset.json"), "w") as f:
+        json.dump({"numTraining": n, "training": training}, f)
+    return ds_dir
+
+
+def test_msd_train_and_eval(tmp_path):
+    """MSD task end-to-end: dataset.json split creation, modality probing,
+    --mod / --xyzpermute knobs (reference train3d.py:260-262,
+    datasets3d.py:210-329)."""
+    root = str(tmp_path / "data")
+    ds_dir = make_msd_fixture(root)
+
+    from segtran_tpu.cli.train3d import main as train_main
+    ckpt_dir = train_main([
+        "--task", "msd", "--ds", "Task05_Prostate", "--split", "train",
+        "--translayers", "1", "--attractors", "8",
+        "--maxiter", "1", "--saveiter", "1", "--bs", "1",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--dataroot", root, "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_1"))
+    # list files were created from dataset.json (85/15 split of 4 -> 3/1)
+    for split in ("train", "test", "all"):
+        assert os.path.isfile(os.path.join(ds_dir, f"{split}.list")), split
+    assert len(open(os.path.join(ds_dir, "train.list")).read().split()) == 3
+    # modality count was probed from the h5 (2 modalities)
+    log = open(os.path.join(ckpt_dir, "log.txt")).read()
+    assert "orig_in_channels probed: 2" in log
+
+    from segtran_tpu.cli.test3d import main as test_main
+    results = test_main([
+        "--task", "msd", "--ds", "Task05_Prostate", "--split", "test",
+        "--translayers", "1", "--attractors", "8",
+        "--cpdir", ckpt_dir, "--iters", "1",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--dataroot", root,
+    ])
+    assert len(results[1]) == 2 and all(np.isfinite(results[1]))
+
+
+def test_msd_chosen_modality_and_permute(tmp_path):
+    """--mod selects one channel (model takes 1 input channel) and
+    --xyzpermute permutes the volume axes (reference datasets3d.py:275-276,
+    :410-413)."""
+    root = str(tmp_path / "data")
+    make_msd_fixture(root, shape=(48, 16, 48))
+
+    from segtran_tpu.cli.train3d import main as train_main
+    ckpt_dir = train_main([
+        "--task", "msd", "--ds", "Task05_Prostate", "--split", "all",
+        "--mod", "1", "--xyzpermute", "0,2,1",
+        "--translayers", "1", "--attractors", "8",
+        "--maxiter", "1", "--saveiter", "1", "--bs", "1",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--dataroot", root, "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_1"))
+    log = open(os.path.join(ckpt_dir, "log.txt")).read()
+    assert "orig_in_channels probed: 1" in log

@@ -37,3 +37,57 @@ def test_polyformer_target_with_adversarial_da(tmp_path):
     # training log mentions the DA losses
     log = open(os.path.join(ckpt_dir, "log.txt")).read()
     assert "source-domain samples" in log
+
+
+@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
+                    reason="sample data not available")
+def test_adversarial_da_nonsquare_grid(tmp_path):
+    """--adv mask + --attnconsist on a NON-SQUARE input (like the oct task's
+    288x512): the attention-consistency plumbing must use the real (h2, w2)
+    FPN grid, not sqrt(N) (round-1 square-grid bug)."""
+    data_root = tmp_path / "data"
+    (data_root / "fundus").mkdir(parents=True)
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
+    for f in (data_root / "fundus" / "train").glob("*.list"):
+        f.unlink()
+
+    from segtran_tpu.cli.train2d import main
+    ckpt_dir = main([
+        "--task", "fundus", "--split", "all", "--net", "segtran",
+        "--bb", "eff-b0", "--translayers", "1", "--attractors", "8",
+        "--adv", "mask", "--sourceds", "train",
+        "--attnconsist",
+        "--maxiter", "2", "--saveiter", "2", "--bs", "2",
+        "--origsize", "64,128", "--patchsize", "64,128",
+        "--dataroot", str(data_root), "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_2"))
+
+
+def test_da_feature_nonsquare_reshape():
+    """_da_feature must reshape segtran tokens onto the REAL (h2, w2) grid
+    (reference net.feature_maps[-1], train2d.py:1259-1286). On a non-square
+    grid the round-1 sqrt(N) assumption either crashed or silently
+    transposed the map."""
+    import jax
+    import jax.numpy as jnp
+    from segtran_tpu.cli.train2d import _da_feature, _grid_hw
+    from segtran_tpu.configs import Segtran2dConfig
+    from segtran_tpu.models import Segtran2d
+    from segtran_tpu.nn.init import init_with_reference_schemes
+
+    cfg = Segtran2dConfig(backbone_type="eff-b0", num_classes=3,
+                          num_attractors=8).derive(
+        translayer_compress_ratios=(1.0, 1.0))
+    model = Segtran2d(cfg)
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, x)
+    _, mstate = model.apply({"params": params, **rest}, x, train=False,
+                            mutable=["intermediates"])
+    h2, w2 = _grid_hw(mstate)
+    assert h2 != w2, "fixture must be non-square to exercise the bug"
+    assert (64 // h2) == (128 // w2), "grid must preserve aspect ratio"
+    feat = _da_feature(mstate)
+    assert feat.ndim == 4 and feat.shape[1:3] == (h2, w2), feat.shape
