@@ -93,6 +93,16 @@ def build_argparser():
                         "test_util2d.py:60-64), e.g. 144,144")
     p.add_argument("--exclusive", dest="use_exclusive_masks",
                    action="store_true")
+    p.add_argument("--removefrag", dest="do_remove_frag",
+                   action="store_true",
+                   help="keep only the largest connected foreground "
+                        "components in each prediction (reference "
+                        "test2d.py:136, test_util2d.py:267-289)")
+    p.add_argument("--savefeat", dest="save_features_img_count", type=int,
+                   default=0,
+                   help="dump per-pixel (feature, label) pairs of the first "
+                        "N images for t-SNE (reference test2d.py:161, "
+                        "test_util2d.py:78-88); saved as pixel_features.npz")
     p.add_argument("--robust", dest="eval_robustness", action="store_true",
                    help="feature-robustness evaluation under perturbations "
                         "(reference --robust, internal_util.py:197-343)")
@@ -128,16 +138,31 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
     gray_alpha = args.gray_alpha
     gray_w = jnp.asarray([0.299, 0.587, 0.114])
 
-    @jax.jit
-    def model_fn(image):
+    def _preproc(image):
         gray = jnp.tensordot(image, gray_w, axes=[[-1], [0]])[..., None]
         x = (1 - gray_alpha) * image + gray_alpha * gray
-        x = (x - mean_a) / std_a
-        return model.apply(variables, x, train=False)
+        return (x - mean_a) / std_a
+
+    @jax.jit
+    def model_fn(image):
+        return model.apply(variables, _preproc(image), train=False)
+
+    feat_budget = getattr(args, "save_features_img_count", 0)
+    if feat_budget > 0:
+        from .train2d import _da_feature
+
+        @jax.jit
+        def feat_fn(image):
+            """The reference's net.feature_maps[-1] on one direct forward
+            (test_util2d.py:78-88)."""
+            _, mstate = model.apply(variables, _preproc(image), train=False,
+                                    mutable=["intermediates"])
+            return _da_feature(mstate)
 
     all_dice = []
     all_vcdr_err = []
     saved = []
+    feats_acc, labels_acc = [], []
     for batch in batch_iterator(dataset, args.batch_size, epoch=0,
                                 shuffle=False, drop_last=False,
                                 keys=("image", "mask", "index", "crop_pos",
@@ -171,6 +196,33 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
             gt = index_to_onehot(jnp.asarray(batch["mask"][..., 0]),
                                  num_classes)
         hard = harden_segmap(probs)
+        if getattr(args, "do_remove_frag", False):
+            # keep only the largest connected foreground components
+            # (reference test2d.py:654-656, test_util2d.py:267-289)
+            from ..tools.postproc import remove_fragmentary_segs
+            hard_np = np.array(hard)   # writable copy
+            for i in range(hard_np.shape[0]):
+                fg = hard_np[i, :, :, 1:].any(-1).astype(np.uint8)
+                kept = (remove_fragmentary_segs(fg, keep_top=2) > 0)
+                hard_np[i, :, :, 1:] = (hard_np[i, :, :, 1:]
+                                        * kept[..., None])
+                hard_np[i, :, :, 0] = 1 - hard_np[i, :, :, 1:].max(-1)
+            hard = jnp.asarray(hard_np)
+        if feat_budget > 0 and len(feats_acc) < feat_budget:
+            from ..ops.resize import resize_linear
+            small = resize_linear(img, patch)
+            feats = np.asarray(feat_fn(small))            # [B, h2, w2, C]
+            gt_ex = (fundus_map_mask(jnp.asarray(batch["mask"]),
+                                     exclusive=True)
+                     if args.task_name == "fundus" else gt)
+            lab = resize_linear(gt_ex.astype(jnp.float32),
+                                feats.shape[1:3])
+            lab = np.asarray((lab >= 0.5).argmax(-1))     # [B, h2, w2]
+            for i in range(feats.shape[0]):
+                if len(feats_acc) >= feat_budget:
+                    break
+                feats_acc.append(feats[i])
+                labels_acc.append(lab[i])
         if getattr(args, "has_mask", True):
             dice = batch_dice_per_class(hard.astype(jnp.float32), gt,
                                         num_classes)
@@ -210,6 +262,14 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
                 if args.saveprobs:
                     np.save(out_path + ".probs.npy",
                             np.asarray(probs[i], np.float16))
+    if feats_acc:
+        from ..tools.analysis import dump_pixel_features
+        fdir = args.outdir or args.cpdir
+        os.makedirs(fdir, exist_ok=True)
+        fpath = os.path.join(fdir, "pixel_features.npz")
+        dump_pixel_features(np.stack(feats_acc), np.stack(labels_acc), fpath)
+        logger.info("saved pixel features of %d images -> %s",
+                    len(feats_acc), fpath)
     if not all_dice:
         logger.info("predict-only mode: no ground truth, no Dice")
         if args.outdir and saved:

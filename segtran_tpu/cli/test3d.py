@@ -72,6 +72,11 @@ def build_argparser():
     p.add_argument("--patchsize", dest="orig_patch_size", default=None)
     p.add_argument("--inputsize", dest="input_patch_size", default=None)
     p.add_argument("--outdir", default=None)
+    p.add_argument("--testinterp", dest="test_interp", default=None,
+                   help="null-model sanity check: predict = GT downsampled "
+                        "by these scale factor(s) then trilinearly restored "
+                        "(reference test_util3d.py:48-60), e.g. 0.5 or "
+                        "0.5,0.5,0.25")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true")
@@ -204,7 +209,27 @@ def main(argv=None):
         for vi in range(len(dataset)):
             sample = dataset[vi]
             vol = jnp.asarray(sample["image"])[None]
-            if args.wholevol:
+            if args.task_name == "brats":
+                gt = brats_map_label(jnp.asarray(sample["label"]))
+            else:
+                gt = index_to_onehot(jnp.asarray(sample["label"]),
+                                     num_classes)
+            if args.test_interp:
+                # null-model floor: GT down/up-sampled by the given scale
+                # factors (reference test_util3d.py:48-60)
+                from ..ops.resize import resize_linear
+                factors = [float(v) for v in
+                           str(args.test_interp).split(",")]
+                if len(factors) == 1:
+                    factors = factors * 3
+                sp = gt.shape[:3]
+                small_size = tuple(max(int(s * f), 1)
+                                   for s, f in zip(sp, factors))
+                small = jax.image.resize(
+                    gt.astype(jnp.float32)[None],
+                    (1,) + small_size + (gt.shape[-1],), "nearest")
+                probs = resize_linear(small, sp)[0]
+            elif args.wholevol:
                 # pad spatial dims up to multiples the model strides require
                 # (16 x/y, 8 depth covers all 3D variants), run ONE forward
                 import numpy as _np
@@ -223,10 +248,6 @@ def main(argv=None):
                     window_batch=args.window_batch)[0]
             if args.task_name == "brats":
                 probs = make_brats_pred_consistent(probs)
-                gt = brats_map_label(jnp.asarray(sample["label"]))
-            else:
-                gt = index_to_onehot(jnp.asarray(sample["label"]),
-                                     num_classes)
             hard = np.asarray(harden_segmap(probs))
             gt = np.asarray(gt)
             for cls in range(1, num_classes):

@@ -323,7 +323,7 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     that split.
     """
     import optax
-    from ..train.da import (attention_consistency_loss,
+    from ..train.da import (attention_consistency_loss, collect_attn_scores,
                             domain_adversarial_loss,
                             vcdr_estimation_losses)
     loss_fn = make_loss_fn(task["num_classes"], task["bce_weight"],
@@ -341,23 +341,6 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
         if task_name == "polyp":
             return polyp_map_mask(raw_mask)
         return index_to_onehot(raw_mask[..., 0], task["num_classes"])
-
-    def _attn_scores(inter):
-        vf = inter.get("intermediates", inter).get("voxel_fusion", {})
-        layers = []
-        for k in sorted(k for k in vf if k.startswith("translayers_")):
-            node = vf[k]
-            if "in_ator_trans" in node:
-                # squeezed: mean over modes replaces the reference's learned
-                # 1x1 mode-pooling convs (segtran_shared.py:896-905)
-                in_s = node["in_ator_trans"]["attention_scores"][0]
-                out_s = node["ator_out_trans"]["attention_scores"][0]
-                layers.append((in_s.mean(1, keepdims=True),
-                               out_s.mean(1, keepdims=True)))
-            elif "attention_scores" in node:
-                layers.append(node["attention_scores"][0]
-                              .mean(1, keepdims=True))
-        return layers
 
     def run_net(params, bstats, image, drng):
         variables = {"params": params}
@@ -391,7 +374,7 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
             loss, metrics = loss_fn(logits, mask)
             all_bstats = new_bstats
             if args.use_attn_consist_loss:
-                scores = _attn_scores(mstate)
+                scores = collect_attn_scores(mstate)
                 if scores:
                     hw = _grid_hw(mstate)
                     if hw is None:

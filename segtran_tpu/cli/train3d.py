@@ -64,6 +64,13 @@ def build_argparser():
     p.add_argument("--modes", dest="num_modes", type=int, default=4)
     p.add_argument("--dropout", dest="dropout_prob", type=float, default=0.1)
     p.add_argument("--noqkbias", dest="qk_have_bias", action="store_false")
+    p.add_argument("--attnconsist", dest="use_attn_consist_loss",
+                   action="store_true",
+                   help="attention-consistency loss: BCE between attention "
+                        "scores and the mask consistency matrix (reference "
+                        "train3d.py:115-117,426-449)")
+    p.add_argument("--attnconsistweight", dest="attn_consist_w", type=float,
+                   default=0.01)
     p.add_argument("--maxiter", type=int, default=10000)
     p.add_argument("--saveiter", type=int, default=500)
     p.add_argument("--bs", dest="batch_size", type=int, default=4)
@@ -154,6 +161,7 @@ def main(argv=None):
         orig_in_channels=task["orig_in_channels"],
         hidden_dropout_prob=args.dropout_prob,
         attention_probs_dropout_prob=args.dropout_prob,
+        use_attn_consist_loss=args.use_attn_consist_loss,
         remat=getattr(args, "remat", False),
         use_fused_attention=getattr(args, "use_fused_attention", False),
         dtype=dtype,
@@ -198,7 +206,26 @@ def main(argv=None):
     warmup_ratio = min(args.lr_warmup_steps, args.maxiter // 2) / args.maxiter
     tx = build_optimizer(lr=args.lr, decay=args.decay, t_total=args.maxiter,
                          warmup_ratio=warmup_ratio, grad_clip=args.grad_clip)
-    base_step = make_train_step(model, tx, loss_fn)
+    aux_loss_fn = None
+    if args.use_attn_consist_loss:
+        from ..train.da import (attention_consistency_loss_3d,
+                                collect_attn_scores)
+        depth_first = args.segtran_type == "3d"   # 25d rasters (h,w,d)
+        ac_w = args.attn_consist_w
+
+        def aux_loss_fn(mstate, mask):
+            scores = collect_attn_scores(mstate)
+            if not scores:
+                raise ValueError(
+                    "no attention scores collected -- remat drops sown "
+                    "intermediates; use --attnconsist without --remat")
+            feat = mstate["intermediates"]["in_fpn_feat"][0]
+            ac = attention_consistency_loss_3d(
+                scores, mask, tuple(feat.shape[1:4]),
+                depth_first=depth_first)
+            return ac_w * ac, {"attn_consist_loss": ac}
+
+    base_step = make_train_step(model, tx, loss_fn, aux_loss_fn=aux_loss_fn)
 
     def step(state, batch):
         rng = jax.random.fold_in(state.rng, state.step + 31)

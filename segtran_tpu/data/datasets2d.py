@@ -113,6 +113,21 @@ def create_split_lists(base_dir: str, frac_or_shot=0.85,
                 f.write("\n".join(idx2files[k]) + "\n")
 
 
+def load_gamma_labels(gamma_label_path: str) -> dict:
+    """GAMMA-challenge image-level glaucoma labels (reference
+    datasets2d.py:272-287): CSV with a header then rows 'name,onehot...',
+    e.g. '0002,1,0,0' -> {'0002': 0} (argmax of the one-hot columns)."""
+    import csv
+    image2label = {}
+    with open(gamma_label_path) as f:
+        reader = csv.reader(f)
+        next(reader)   # header
+        for row in reader:
+            onehot = np.array([int(v) for v in row[1:]])
+            image2label[row[0]] = int(onehot.argmax())
+    return image2label
+
+
 @dataclass
 class SegCrop:
     """Pre-cropped images; crop position parsed from the filename."""
@@ -128,10 +143,18 @@ class SegCrop:
     uncropped_size: Tuple[int, int] | int = -1
     min_output_size: Optional[Tuple[int, int]] = None
     out_size: Optional[Tuple[int, int]] = None  # resize at load (aug target)
+    # image-level class labels CSV (GAMMA challenge, reference
+    # datasets2d.py:272-287); None auto-detects glaucoma_label.csv
+    cls_label_csv: Optional[str] = None
     seed: int = 0
 
     def __post_init__(self):
         base = self.base_dir
+        csv_path = self.cls_label_csv
+        if csv_path is None:
+            cand = os.path.join(base, "glaucoma_label.csv")
+            csv_path = cand if os.path.isfile(cand) else ""
+        self.image2label = load_gamma_labels(csv_path) if csv_path else None
         if self.sample_num > 0:
             train_list = os.path.join(base, f"train-{self.sample_num}shot.list")
             if not os.path.isfile(train_list):
@@ -151,6 +174,16 @@ class SegCrop:
 
     def __len__(self):
         return len(self.image_list)
+
+    def _cls_label(self, name: str) -> int:
+        """Image-level label lookup: exact stem first, then the leading
+        token (cropped files carry crop-position suffixes)."""
+        if self.image2label is None:
+            return -1
+        stem = os.path.splitext(os.path.basename(name))[0]
+        if stem in self.image2label:
+            return self.image2label[stem]
+        return self.image2label.get(stem.split("_")[0], -1)
 
     def __getitem__(self, idx: int) -> dict:
         name = self.image_list[idx]
@@ -194,6 +227,8 @@ class SegCrop:
             "unscaled_size": unscaled_size,
             "uncropped_size": np.asarray(self.uncropped_size),
             "weight": np.float32(self.ds_weight),
+            # image-level glaucoma grade (-1 when no label CSV / unlisted)
+            "cls_label": np.int32(self._cls_label(name)),
         }
 
 

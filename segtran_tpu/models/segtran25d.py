@@ -105,6 +105,7 @@ class Segtran25d(nn.Module):
 
         vfeat_fpn = vol.reshape(b, h2 * w2 * d3, cfg.trans_in_dim)
         vmask = vmask.reshape(b, h2 * w2 * d3)
+        self.sow("intermediates", "in_fpn_feat", vol)   # [B, h2, w2, d3, C]
 
         # coordinates ordered (H, W, D) (segtran25d.py:413-436)
         scale_h, scale_w, scale_d = h // h2, w // w2, d // d3

@@ -104,6 +104,7 @@ class Segtran3d(nn.Module):
 
         vfeat_fpn = curr.reshape(b, d2 * h2 * w2, cfg.trans_in_dim)
         vmask = vmask.reshape(b, d2 * h2 * w2)
+        self.sow("intermediates", "in_fpn_feat", curr)   # [B, d2, h2, w2, C]
 
         # ---- positional coordinates (segtran3d.py:442-470); order (D, H, W)
         scale_d, scale_h, scale_w = d // d2, h // h2, w // w2

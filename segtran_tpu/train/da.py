@@ -24,6 +24,25 @@ from ..ops.losses import weighted_bce_with_logits
 from ..ops.resize import resize_linear
 
 
+def collect_attn_scores(inter) -> list:
+    """Per-layer attention scores from the sown intermediates, mode-pooled.
+    Squeezed layers yield (in_scores [B,1,A,N], out_scores [B,1,N,A]) pairs;
+    plain layers a single [B,1,N,N]. The mean over modes replaces the
+    reference's learned 1x1 mode-pooling convs (segtran_shared.py:896-905)."""
+    vf = inter.get("intermediates", inter).get("voxel_fusion", {})
+    layers = []
+    for k in sorted(k for k in vf if k.startswith("translayers_")):
+        node = vf[k]
+        if "in_ator_trans" in node:
+            in_s = node["in_ator_trans"]["attention_scores"][0]
+            out_s = node["ator_out_trans"]["attention_scores"][0]
+            layers.append((in_s.mean(1, keepdims=True),
+                           out_s.mean(1, keepdims=True)))
+        elif "attention_scores" in node:
+            layers.append(node["attention_scores"][0].mean(1, keepdims=True))
+    return layers
+
+
 def attention_consistency_loss(layers_attn_scores: Sequence,
                                mask: jnp.ndarray,
                                feat_shape: Sequence[int],
@@ -62,6 +81,42 @@ def attention_consistency_loss(layers_attn_scores: Sequence,
     return jnp.where(loss > 1.0,
                      loss / jnp.maximum(jax.lax.stop_gradient(loss), 1.0),
                      loss)
+
+
+def attention_consistency_loss_3d(layers_attn_scores: Sequence,
+                                  mask: jnp.ndarray,
+                                  feat_shape: Sequence[int],
+                                  only_first_layer: bool = True,
+                                  depth_first: bool = True) -> jnp.ndarray:
+    """The 3D trainer's attention-consistency loss (reference
+    train3d.py:426-449): BCE-with-logits between the attention scores and the
+    binary mask-consistency matrix. NOTE this differs from the 2D trainer's
+    margin-thresholded form (train2d.py:668-723) -- the reference uses
+    different math in the two drivers and we reproduce both.
+
+    mask: [B, H, W, D, C] channels-last n-hot. feat_shape is the token grid
+    in raster order: Segtran3d rasters (d2, h2, w2) like the reference's
+    [D2,H2,W2] flatten (depth_first=True); Segtran25d rasters (h2, w2, d3)
+    (depth_first=False).
+    """
+    if depth_first:
+        m = mask.transpose(0, 3, 1, 2, 4)                 # [B, D, H, W, C]
+    else:
+        m = mask
+    resized = resize_linear(m.astype(jnp.float32), feat_shape)
+    b, c = resized.shape[0], resized.shape[-1]
+    flat = resized.reshape(b, -1, c)                      # [B, N, C]
+    consistency = jnp.clip(
+        jnp.einsum("bnc,bmc->bnm", flat, flat), 0.0, 1.0)
+
+    n_layers = 1 if only_first_layer else len(layers_attn_scores)
+    total = 0.0
+    for scores in layers_attn_scores[:n_layers]:
+        if isinstance(scores, (tuple, list)):
+            in_s, out_s = scores
+            scores = jnp.matmul(out_s, in_s)              # [B, 1, N, N]
+        total = total + weighted_bce_with_logits(scores[:, 0], consistency)
+    return total / n_layers
 
 
 def recon_loss(recon_head_apply, feature_map: jnp.ndarray,

@@ -109,25 +109,43 @@ def make_loss_fn(num_classes: int,
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     loss_fn: Callable,
-                    has_batch_stats: bool = True) -> Callable:
-    """Returns train_step(state, batch) -> (state, metrics). Jit/pjit-ready."""
+                    has_batch_stats: bool = True,
+                    aux_loss_fn: Optional[Callable] = None) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics). Jit/pjit-ready.
+
+    aux_loss_fn(mstate, mask) -> (extra_loss, extra_metrics): optional hook
+    receiving the mutated-collections dict (intermediates are requested when
+    the hook is set) -- used e.g. for the 3D attention-consistency loss.
+    """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng = jax.random.fold_in(state.rng, state.step)
 
         def compute_loss(params):
             variables = {"params": params}
+            mutable = []
             if has_batch_stats:
                 variables["batch_stats"] = state.batch_stats
+                mutable.append("batch_stats")
+            if aux_loss_fn is not None:
+                mutable.append("intermediates")
+            if mutable:
                 logits, new_mstate = model.apply(
                     variables, batch["image"], train=True,
-                    rngs={"dropout": rng}, mutable=["batch_stats"])
-                new_bstats = new_mstate["batch_stats"]
+                    rngs={"dropout": rng}, mutable=mutable)
+                new_bstats = new_mstate.get("batch_stats",
+                                            state.batch_stats)
             else:
                 logits = model.apply(variables, batch["image"], train=True,
                                      rngs={"dropout": rng})
+                new_mstate = {}
                 new_bstats = state.batch_stats
             loss, metrics = loss_fn(logits, batch["mask"])
+            if aux_loss_fn is not None:
+                extra, extra_metrics = aux_loss_fn(new_mstate, batch["mask"])
+                loss = loss + extra
+                metrics.update(extra_metrics)
+                metrics["loss"] = loss
             return loss, (metrics, new_bstats)
 
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)

@@ -114,3 +114,38 @@ def test_pipeline_batching():
     i2 = epoch_indices(10, 5, seed=1)
     np.testing.assert_array_equal(i1, i2)
     assert not np.array_equal(epoch_indices(10, 6, seed=1), i1)
+
+
+@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
+                    reason="sample data not available")
+def test_gamma_label_csv_ingestion(tmp_path):
+    """GAMMA image-level glaucoma labels (reference datasets2d.py:272-287):
+    CSV is parsed into argmax labels and attached per sample (exact stem or
+    leading-token match; -1 when unlisted)."""
+    import shutil
+    from segtran_tpu.data.datasets2d import SegCrop, load_gamma_labels
+    base = tmp_path / "gamma-train"
+    shutil.copytree(FUNDUS_DIR, base)
+    for f in base.glob("*.list"):
+        f.unlink()
+    names = sorted(os.listdir(base / "images"))
+    stem0 = os.path.splitext(names[0])[0].split("_")[0]
+    csv_path = base / "glaucoma_label.csv"
+    csv_path.write_text("data,non,early,mid_advanced\n"
+                        f"{stem0},0,1,0\n"
+                        "no_such_image,1,0,0\n")
+
+    labels = load_gamma_labels(str(csv_path))
+    assert labels[stem0] == 1 and labels["no_such_image"] == 0
+
+    ds = SegCrop(base_dir=str(base), split="all", out_size=(64, 64))
+    by_name = {os.path.basename(s["image_path"]): int(s["cls_label"])
+               for s in (ds[i] for i in range(len(ds)))}
+    assert by_name[names[0]] == 1
+    # images without a CSV row get -1
+    assert all(v == -1 for k, v in by_name.items() if k != names[0])
+
+    # without any CSV the field is -1 everywhere
+    csv_path.unlink()
+    ds2 = SegCrop(base_dir=str(base), split="all", out_size=(64, 64))
+    assert int(ds2[0]["cls_label"]) == -1
