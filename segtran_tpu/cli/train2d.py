@@ -125,6 +125,26 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=1100,
                    help="iteration to start the net vCDR loss (reference "
                         "train2d.py:161-162)")
+    p.add_argument("--contrastweight", dest="contrast_loss_w", type=float,
+                   default=0.0,
+                   help="CONTRAST_LOSS_W: weight of the reference-feature "
+                        "contrastive losses (reference internal_util.py:154)")
+    p.add_argument("--reffeatcp", dest="ref_feat_cp_path", default=None,
+                   help="per-pixel feature dump (.npz from test2d "
+                        "--savefeat, or reference-format .pth) used as the "
+                        "class-wise reference bank "
+                        "(reference internal_util.py:99-125)")
+    p.add_argument("--numreffeat", dest="num_ref_features", type=int,
+                   default=1000)
+    p.add_argument("--numcontrastfeat", dest="num_contrast_features",
+                   type=int, default=500,
+                   help="accepted for reference parity; the jit formulation "
+                        "computes the exact mask-weighted statistic instead "
+                        "of subsampling (train/contrast.py)")
+    p.add_argument("--refclasses", dest="selected_ref_classes", default=None,
+                   help="comma-separated class ids to keep in the bank")
+    p.add_argument("--negcontrast", dest="do_neg_contrast",
+                   action="store_true")
     p.add_argument("--sourceopt", dest="poly_source_opt", default="allpoly")
     p.add_argument("--targetopt", dest="poly_target_opt", default="k")
     p.add_argument("--bnopt", dest="bn_opt_scheme", default=None,
@@ -312,7 +332,8 @@ def _da_feature(inter):
 
 
 def make_full_step(model, tx, task, args, aug_cfg, patch_size,
-                   disc_model=None, recon_model=None, vcdr_models=None):
+                   disc_model=None, recon_model=None, vcdr_models=None,
+                   contrast_bank=None):
     """Train step over RAW batches: on-device label map -> augment ->
     downscale to patch_size -> model -> loss [+ attention consistency,
     reconstruction, domain-adversarial, vCDR-estimation losses -- reference
@@ -323,6 +344,7 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     that split.
     """
     import optax
+    from ..train.contrast import calc_contrast_losses
     from ..train.da import (attention_consistency_loss, collect_attn_scores,
                             domain_adversarial_loss,
                             vcdr_estimation_losses)
@@ -333,7 +355,8 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     has_aux = (disc_model is not None or recon_model is not None
                or bool(vcdr_models))
     need_inter = (disc_model is not None and args.adversarial_mode == "feat") \
-        or args.use_attn_consist_loss or recon_model is not None
+        or args.use_attn_consist_loss or recon_model is not None \
+        or contrast_bank is not None
 
     def map_mask(raw_mask):
         if task_name == "fundus":
@@ -385,6 +408,31 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                     ac = attention_consistency_loss(scores, mask, hw)
                     loss = loss + args.attn_consist_w * ac
                     metrics["attn_consist_loss"] = ac
+            if contrast_bank is not None:
+                # reference-feature contrastive losses (reference
+                # calc_contrast_losses, internal_util.py:154-194). The
+                # reference caller passes an EXCLUSIVE mask; for fundus the
+                # nested disc channel is made exclusive of cup here. The
+                # trainer wiring is absent from the public snapshot, so the
+                # pos-minus-neg combination is our choice (pull toward the
+                # same-class bank, push from a random other class's bank).
+                bank, bank_valid, contrast_cls_w = contrast_bank
+                if task_name == "fundus":
+                    ex_mask = jnp.concatenate(
+                        [mask[..., :1],
+                         mask[..., 1:2] * (1 - mask[..., 2:3]),
+                         mask[..., 2:3]], -1)
+                else:
+                    ex_mask = mask
+                feat_c = _da_feature(mstate)
+                pos_cl, neg_cl = calc_contrast_losses(
+                    feat_c, ex_mask, bank, bank_valid, contrast_cls_w,
+                    rng=jax.random.fold_in(rng, 5),
+                    do_neg_contrast=args.do_neg_contrast)
+                loss = loss + args.contrast_loss_w * (pos_cl - neg_cl)
+                metrics["contrast_pos_loss"] = pos_cl
+                if args.do_neg_contrast:
+                    metrics["contrast_neg_loss"] = neg_cl
             if has_aux:
                 all_bstats = {"net": new_bstats}
             if disc_model is not None or recon_model is not None:
@@ -679,12 +727,29 @@ def main(argv=None):
     state = create_train_state(params, batch_stats, tx,
                                jax.random.PRNGKey(args.seed + 1))
 
+    contrast_bank = None
+    if args.ref_feat_cp_path:
+        from ..train.contrast import load_reference_features
+        sel = (tuple(int(v) for v in args.selected_ref_classes.split(","))
+               if args.selected_ref_classes else None)
+        bank, bank_valid = load_reference_features(
+            args.ref_feat_cp_path, args.num_ref_features,
+            task["num_classes"], sel, seed=args.seed)
+        logger.info("reference feature bank: %s, %d/%d valid",
+                    bank.shape, int(bank_valid.sum()), bank_valid.size)
+        # the same (num_classes-1)/sum-normalized class weights the BCE uses
+        bw = np.asarray(task["bce_weight"], np.float32)
+        bw = bw * (task["num_classes"] - 1) / bw.sum()
+        contrast_bank = (jnp.asarray(bank), jnp.asarray(bank_valid),
+                         jnp.asarray(bw))
+
     # ---- mesh & step ----
     n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
     step_fn = make_full_step(model, tx, task, args, aug_cfg,
                              tuple(task["patch_size"]),
                              disc_model=disc_model, recon_model=recon_model,
-                             vcdr_models=vcdr_models)
+                             vcdr_models=vcdr_models,
+                             contrast_bank=contrast_bank)
     tp = max(args.tensor_parallel, 1)
     if tp > 1:
         if n_dev % tp:

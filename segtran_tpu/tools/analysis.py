@@ -49,6 +49,38 @@ def tsne_features(npz_path: str, perplexity: float = 30.0, seed: int = 0):
     return emb, labels
 
 
+def hausdorff_matrix(npz_paths: Sequence[str], num_classes: int,
+                     max_points_per_class: int = 2000, seed: int = 0,
+                     feat_norm: bool = False) -> np.ndarray:
+    """Cross-checkpoint class-wise average-Hausdorff distances (reference
+    tsne.py:144-160): entry [i, ci, j, cj] is the symmetric avg-Hausdorff
+    between checkpoint i's class-ci features and checkpoint j's class-cj
+    features. npz_paths are --savefeat dumps (dump_pixel_features). With
+    feat_norm, features are class-wise LayerNormed first (tsne.py:118-139)."""
+    from ..train.contrast import avg_hausdorff_np, normalize_features_by_class
+    rng = np.random.RandomState(seed)
+    subsets = {}
+    for i, p in enumerate(npz_paths):
+        data = np.load(p)
+        feats = data["features"].astype(np.float32)
+        labels = np.asarray(data["labels"])
+        if feat_norm:
+            feats = normalize_features_by_class(feats, labels)
+        for c in range(num_classes):
+            f = feats[labels == c]
+            if len(f) == 0:
+                continue
+            if len(f) > max_points_per_class:
+                f = f[rng.permutation(len(f))[:max_points_per_class]]
+            subsets[(i, c)] = f
+    n = len(npz_paths)
+    out = np.zeros((n, num_classes, n, num_classes))
+    for (i, ci), f1 in subsets.items():
+        for (j, cj), f2 in subsets.items():
+            out[i, ci, j, cj] = avg_hausdorff_np(f1, f2)
+    return out
+
+
 def effective_receptive_field(model, variables, input_shape,
                               layer: Optional[str] = None) -> np.ndarray:
     """Gradient-based ERF: d(center output activation)/d(input), averaged over

@@ -65,6 +65,39 @@ def test_adversarial_da_nonsquare_grid(tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "iter_2"))
 
 
+@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
+                    reason="sample data not available")
+def test_contrastive_reference_feature_training(tmp_path):
+    """--contrastweight + --reffeatcp: the reference-feature contrastive
+    losses (reference internal_util.py:154-194) run end-to-end and appear in
+    the metrics log."""
+    data_root = tmp_path / "data"
+    (data_root / "fundus").mkdir(parents=True)
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
+    for f in (data_root / "fundus" / "train").glob("*.list"):
+        f.unlink()
+    # synthesize a --savefeat-format bank whose channel dim matches the
+    # net's _da_feature output (unet-scratch last decoder feature: 64ch)
+    rng = np.random.RandomState(0)
+    np.savez(tmp_path / "bank.npz",
+             features=rng.randn(90, 64).astype(np.float16),
+             labels=np.repeat([0, 1, 2], 30))
+
+    from segtran_tpu.cli.train2d import main
+    ckpt_dir = main([
+        "--task", "fundus", "--split", "all", "--net", "unet-scratch",
+        "--contrastweight", "0.01", "--negcontrast",
+        "--reffeatcp", str(tmp_path / "bank.npz"), "--numreffeat", "30",
+        "--maxiter", "2", "--saveiter", "2", "--bs", "2",
+        "--origsize", "64", "--patchsize", "64",
+        "--dataroot", str(data_root), "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_2"))
+    log = open(os.path.join(ckpt_dir, "log.txt")).read()
+    assert "reference feature bank" in log
+
+
 def test_da_feature_nonsquare_reshape():
     """_da_feature must reshape segtran tokens onto the REAL (h2, w2) grid
     (reference net.feature_maps[-1], train2d.py:1259-1286). On a non-square
