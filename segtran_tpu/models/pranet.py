@@ -5,9 +5,9 @@ Capability parity with the reference's vendored PraNet (reference
 code/networks/pranet/PraNet_Res2Net.py): RFB_modified (:22-59), dense
 aggregation partial decoder (:61-95), three reverse-attention branches
 (:127-176), and the 4-tuple output whose lateral_map_2 drives the single-loss
-training path (reference train2d.py:1207-1214). The Res2Net-50 backbone is
-replaced by our ResNet-50 features (same strides/channels) -- an intentional
-substitution, not a conversion target.
+training path (reference train2d.py:1207-1214), on the Res2Net-50-v1b
+backbone the reference uses (PraNet_Res2Net.py:103), so reference PraNet
+checkpoints convert.
 """
 from __future__ import annotations
 
@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..nn.backbones.resnet import ResNetFeatures
+from ..nn.backbones.res2net import Res2NetFeatures
 from ..ops.resize import resize_linear, resize_linear_align_corners
 
 
@@ -66,6 +66,7 @@ class RFBModified(nn.Module):
 
 class Aggregation(nn.Module):
     channel: int
+    num_classes: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -86,6 +87,11 @@ class Aggregation(nn.Module):
             -1)
         x3_2 = c(3 * self.channel, "conv_concat3")(x3_2, train)
         v = c(3 * self.channel, "conv4")(x3_2, train)
+        # the reference's aggregation ignores its out_channels arg and
+        # hardcodes conv5 to ONE channel (PraNet_Res2Net.py:78); the
+        # 1-channel global map then broadcasts into the num_classes-channel
+        # reverse-attention branches. Quirk reproduced, num_classes kept for
+        # the constructor-signature parity.
         return nn.Conv(1, (1, 1), dtype=dt, name="conv5")(v)
 
 
@@ -101,13 +107,14 @@ class PraNet(nn.Module):
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         h, w = x.shape[1:3]
-        feats = ResNetFeatures(variant="resnet50", do_pool1=True, dtype=dt,
-                               name="resnet")(x, train=train)
+        feats = Res2NetFeatures(variant="res2net50", do_pool1=True, dtype=dt,
+                                name="resnet")(x, train=train)
         _, x1, x2, x3, x4 = feats
         x2_rfb = RFBModified(self.channel, dt, name="rfb2_1")(x2, train)
         x3_rfb = RFBModified(self.channel, dt, name="rfb3_1")(x3, train)
         x4_rfb = RFBModified(self.channel, dt, name="rfb4_1")(x4, train)
-        ra5 = Aggregation(self.channel, dt, name="agg1")(
+        ra5 = Aggregation(self.channel, self.num_classes, dt,
+                          name="agg1")(
             x4_rfb, x3_rfb, x2_rfb, train)
         lateral_5 = resize_linear(ra5.astype(jnp.float32), (h, w))
 
