@@ -467,10 +467,20 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                         return out
 
                     if args.adda:
-                        # ADDA: discriminator trains on detached features;
-                        # the generator trains against a frozen discriminator
-                        # with flipped labels (reference train2d.py:1278-1283,
-                        # folded into one step)
+                        # ADDA (reference train2d.py:1070-1073, 1278-1283):
+                        # a dedicated BertAdam trains the discriminator on
+                        # the UNSCALED domain loss at full LR, then the
+                        # generator trains against the pre-update
+                        # discriminator with flipped labels, scaled by
+                        # DOMAIN_LOSS_W. Folded into one step: d_loss sees
+                        # detached features + live disc params (-> unscaled
+                        # disc-only grads, same BertAdam schedule as the
+                        # reference's discriminator_optim), g_loss sees live
+                        # features + frozen disc params (-> domweight-scaled
+                        # net-only grads). Deviation: the reference's main
+                        # optimizer also leaks a domweight(=0.002)-scaled
+                        # second disc update from the flipped-label loss;
+                        # freezing disc in g_loss drops that epsilon.
                         d_loss = domain_adversarial_loss(
                             lambda v: disc_apply(
                                 v, params["discriminator"]),
@@ -481,14 +491,16 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                         g_loss = domain_adversarial_loss(
                             lambda v: disc_apply(v, frozen),
                             feat_t, feat_s)  # flipped labels
-                        dl = d_loss + g_loss
+                        loss = loss + d_loss + args.domain_loss_w * g_loss
+                        metrics["disc_loss"] = d_loss
+                        metrics["domain_loss"] = g_loss
                     else:
                         dl = domain_adversarial_loss(
                             lambda v: disc_apply(
                                 v, params["discriminator"]),
                             feat_s, feat_t)
-                    loss = loss + args.domain_loss_w * dl
-                    metrics["domain_loss"] = dl
+                        loss = loss + args.domain_loss_w * dl
+                        metrics["domain_loss"] = dl
                     all_bstats["discriminator"] = disc_apply.dstats
             if vcdr_models:
                 # learned vCDR estimation losses (reference

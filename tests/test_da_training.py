@@ -4,6 +4,7 @@ recipe, README_polyformer.md:13-17 / train2d.py:1259-1286)."""
 import os
 import shutil
 
+import jax
 import numpy as np
 import pytest
 
@@ -63,6 +64,49 @@ def test_adversarial_da_nonsquare_grid(tmp_path):
         "--ndevices", "1",
     ])
     assert os.path.isdir(os.path.join(ckpt_dir, "iter_2"))
+
+
+@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
+                    reason="sample data not available")
+def test_adda_discriminator_full_lr(tmp_path):
+    """ADDA optimizer-split semantics (reference train2d.py:1070-1073): the
+    discriminator trains on the UNSCALED domain loss -- its update must be
+    invariant to --domweight -- while the generator's adversarial gradient
+    scales with it, so the net update must differ."""
+    data_root = tmp_path / "data"
+    (data_root / "fundus").mkdir(parents=True)
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "rim")
+    for d in ("train", "rim"):
+        for f in (data_root / "fundus" / d).glob("*.list"):
+            f.unlink()
+
+    from segtran_tpu.cli.train2d import main
+    from segtran_tpu.train.checkpoint import load_checkpoint
+
+    def run(domweight, tag):
+        ckpt_dir = main([
+            "--task", "fundus", "--split", "all", "--net", "unet-scratch",
+            "--adv", "feat", "--adda", "--sourceds", "train", "--ds", "rim",
+            "--domweight", str(domweight), "--seed", "7",
+            "--maxiter", "1", "--saveiter", "1", "--bs", "2",
+            "--origsize", "64", "--patchsize", "64", "--attractors", "8",
+            "--dataroot", str(data_root),
+            "--ckptdir", str(tmp_path / f"model_{tag}"), "--ndevices", "1",
+        ])
+        return load_checkpoint(os.path.join(ckpt_dir, "iter_1"))["params"]
+
+    p_hi = run(0.5, "hi")
+    p_lo = run(0.001, "lo")
+    d_hi = jax.tree_util.tree_leaves(p_hi["discriminator"])
+    d_lo = jax.tree_util.tree_leaves(p_lo["discriminator"])
+    for a, b in zip(d_hi, d_lo):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    n_hi = np.concatenate([np.ravel(v) for v in
+                           jax.tree_util.tree_leaves(p_hi["net"])])
+    n_lo = np.concatenate([np.ravel(v) for v in
+                           jax.tree_util.tree_leaves(p_lo["net"])])
+    assert np.abs(n_hi - n_lo).max() > 1e-7
 
 
 @pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
