@@ -83,6 +83,9 @@ def build_argparser():
     p.add_argument("--outdir", default=None, help="save predicted masks here")
     p.add_argument("--vcdr", dest="do_vcdr", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--scanblocks", dest="scan_blocks", action="store_true",
+                   help="evaluate with the scan-over-MBConv-repeats backbone"
+                        " (per-block checkpoints adapt on load)")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true")
     p.add_argument("--polyformer", dest="polyformer_mode", default=None,
@@ -342,11 +345,16 @@ def main(argv=None):
     results = {}
     for it in iters:
         if it is not None:
+            from ..nn.backbones.efficientnet import maybe_adapt_scan_layout
             path = os.path.join(args.cpdir, f"iter_{it}")
             payload = load_checkpoint(path, cfg)
-            params_i = merge_params(params, payload.get("params", {}))
+            want_scan = getattr(cfg, "scan_blocks", False)
+            params_i = merge_params(params, maybe_adapt_scan_layout(
+                payload.get("params", {}), args.backbone_type, want_scan))
             bstats = merge_params(rest.get("batch_stats", {}),
-                                  payload.get("batch_stats", {}))
+                                  maybe_adapt_scan_layout(
+                                      payload.get("batch_stats", {}),
+                                      args.backbone_type, want_scan))
             logger.info("=== iter %d ===", it)
         else:
             params_i, bstats = params, rest.get("batch_stats", {})

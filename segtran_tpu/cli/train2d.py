@@ -170,6 +170,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="bfloat16 compute (recommended on TPU)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches in HBM)")
+    p.add_argument("--scanblocks", dest="scan_blocks", action="store_true",
+                   help="lax.scan over identical EfficientNet MBConv repeats"
+                        " (smaller HLO, faster first compile; same eval "
+                        "numerics; checkpoints adapt on load)")
     p.add_argument("--profile", action="store_true",
                    help="print params/FLOPs/FPS before training (reference "
                         "train2d.py:1048-1062)")
@@ -207,6 +211,7 @@ def build_model_and_config(args, task):
             use_attn_consist_loss=args.use_attn_consist_loss,
             use_fused_attention=getattr(args, "use_fused_attention", False),
             remat=getattr(args, "remat", False),
+            scan_blocks=getattr(args, "scan_blocks", False),
             pos_code_type=args.pos_code_type,
             use_mince_transformer=getattr(args, "use_mince_transformer",
                                           False),
@@ -626,10 +631,16 @@ def main(argv=None):
     batch_stats = rest.get("batch_stats", {})
 
     if args.checkpoint_path:
+        from ..nn.backbones.efficientnet import maybe_adapt_scan_layout
         payload = load_checkpoint(args.checkpoint_path, cfg)
-        params = merge_params(params, payload.get("params", {}))
+        want_scan = getattr(cfg, "scan_blocks", False)
+        loaded_p = maybe_adapt_scan_layout(
+            payload.get("params", {}), args.backbone_type, want_scan)
+        params = merge_params(params, loaded_p)
         if payload.get("batch_stats"):
-            batch_stats = merge_params(batch_stats, payload["batch_stats"])
+            batch_stats = merge_params(
+                batch_stats, maybe_adapt_scan_layout(
+                    payload["batch_stats"], args.backbone_type, want_scan))
         logger.info("loaded checkpoint %s", args.checkpoint_path)
 
     if args.profile:

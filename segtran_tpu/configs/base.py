@@ -99,6 +99,13 @@ class TransformerConfig:
     # bigger batches / whole-volume training on 16GB v5e chips.
     remat: bool = False
 
+    # lax.scan over each EfficientNet segment's identical MBConv repeats
+    # (stacked params): identical eval numerics, much smaller HLO -> faster
+    # first compile through the remote-compile tunnel. Changes the param
+    # layout; checkpoints in either layout are adapted on load
+    # (nn/backbones/efficientnet.py maybe_adapt_scan_layout).
+    scan_blocks: bool = False
+
     # If True, apply the *corrected* residual in the private FFN output.
     # The reference's MMPrivateOutput computes a residual but then normalizes the
     # non-residual tensor (segtran_shared.py:266-275) -- released checkpoints were

@@ -51,6 +51,7 @@ class Segtran2d(nn.Module):
             return wrap(EfficientNetFeatures)(
                 variant=cfg.backbone_type,
                 stem_stride=1 if cfg.bb_feat_upsize else 2,
+                scan_blocks=cfg.scan_blocks,
                 bn_axis_name=self.bn_axis_name, dtype=cfg.dtype,
                 name="backbone")
         if cfg.backbone_type.startswith("effv2"):

@@ -146,13 +146,16 @@ def _BN(use_running_average=True, axis_name=None, dtype=jnp.float32,
 
 
 def _drop_connect(x, rate, deterministic, rng):
-    """Per-sample stochastic depth (reference utils.py:129-154)."""
-    if deterministic or rate == 0.0:
+    """Per-sample stochastic depth (reference utils.py:129-154). rate may be
+    a traced scalar (scan mode): rate=0 then degenerates to bernoulli(1)."""
+    if deterministic:
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
-    return x / keep * mask
+    # keep cast to x.dtype: a traced f32 rate must not promote a bf16
+    # carry (the scan body requires carry-in/carry-out dtypes to match)
+    return x / jnp.asarray(keep, x.dtype) * mask
 
 
 class MBConvBlock(nn.Module):
@@ -162,7 +165,10 @@ class MBConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, drop_rate=None):
+        """drop_rate (optional, possibly traced) overrides the static
+        attribute -- used by the scan-over-blocks path where the per-block
+        stochastic-depth rate is a scanned input."""
         s = self.spec
         inputs = x
         expanded = s.in_filters * s.expand_ratio
@@ -192,11 +198,99 @@ class MBConvBlock(nn.Module):
         x = conv(s.out_filters, 1, 1, "_project_conv")(x)
         x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn2")(x)
         if s.stride == 1 and s.in_filters == s.out_filters:
-            if train and self.drop_rate > 0:
+            rate = self.drop_rate if drop_rate is None else drop_rate
+            static_zero = isinstance(rate, float) and rate == 0.0
+            if train and not static_zero:
                 rng = self.make_rng("dropout")
-                x = _drop_connect(x, self.drop_rate, not train, rng)
+                x = _drop_connect(x, rate, not train, rng)
             x = x + inputs
         return x
+
+
+class _MBConvScanBody(nn.Module):
+    """nn.scan body: one within-segment repeat. All repeats after a
+    segment's first block share (stride=1, in=out filters, pad), so their
+    params stack along a leading axis and XLA compiles ONE block body per
+    segment instead of one per repeat -- the HLO (and the multi-minute
+    remote-compile time it drives) shrinks by ~the segment repeat count."""
+    spec: _BlockSpec
+    train: bool
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rate):
+        y = MBConvBlock(self.spec, 0.0, self.bn_axis_name, self.dtype,
+                        name="block")(x, train=self.train, drop_rate=rate)
+        return y, None
+
+
+def segment_layout(variant: str) -> Tuple[Tuple[int, int], ...]:
+    """Per-segment (first_global_block_index, num_repeats) after depth
+    scaling -- the grouping used by the scan path and the (un)stack shims."""
+    _, d, _, _ = EFFICIENTNET_PARAMS[variant]
+    out = []
+    i = 0
+    for (r, *_rest) in _B0_BLOCKS:
+        rr = round_repeats(r, d)
+        out.append((i, rr))
+        i += rr
+    return tuple(out)
+
+
+def _tree_map_stack(trees):
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *trees)
+
+
+def stack_mbconv_params(backbone_tree: dict, variant: str) -> dict:
+    """Per-block checkpoint layout (`_blocks_{i}`) -> scan layout
+    (`_blocks_{first}` + `_blocks_scan_{seg}/block` with stacked leaves).
+    Works on params and batch_stats trees alike; non-block keys pass
+    through. Inverse: unstack_mbconv_params."""
+    out = {k: v for k, v in backbone_tree.items()
+           if not k.startswith("_blocks_")}
+    for seg, (i0, rr) in enumerate(segment_layout(variant)):
+        out[f"_blocks_{i0}"] = backbone_tree[f"_blocks_{i0}"]
+        if rr > 1:
+            out[f"_blocks_scan_{seg}"] = {"block": _tree_map_stack(
+                [backbone_tree[f"_blocks_{i0 + j}"] for j in range(1, rr)])}
+    return out
+
+
+def maybe_adapt_scan_layout(tree, variant: str, want_scan: bool):
+    """Recursively adapt a loaded params/batch_stats tree to the model's
+    block layout: any subtree that looks like an EfficientNet backbone
+    (contains `_conv_stem`) is (un)stacked to match ``want_scan``. Called by
+    the CLIs on checkpoint load so per-block checkpoints (incl. converted
+    torch .pth) run under --scanblocks and vice versa."""
+    if not isinstance(tree, dict) or variant not in EFFICIENTNET_PARAMS:
+        return tree
+    # an EfficientNet backbone subtree in either collection: params carry
+    # _conv_stem, batch_stats only the _bn*/_blocks_* BN entries
+    if any(k.startswith("_blocks_") for k in tree):
+        has_scan = any(k.startswith("_blocks_scan_") for k in tree)
+        if want_scan and not has_scan:
+            return stack_mbconv_params(tree, variant)
+        if not want_scan and has_scan:
+            return unstack_mbconv_params(tree, variant)
+        return tree
+    return {k: maybe_adapt_scan_layout(v, variant, want_scan)
+            for k, v in tree.items()}
+
+
+def unstack_mbconv_params(backbone_tree: dict, variant: str) -> dict:
+    """Scan layout -> canonical per-block layout (for saving checkpoints
+    that non-scan models and the torch exporter understand)."""
+    out = {k: v for k, v in backbone_tree.items()
+           if not (k.startswith("_blocks_"))}
+    for seg, (i0, rr) in enumerate(segment_layout(variant)):
+        out[f"_blocks_{i0}"] = backbone_tree[f"_blocks_{i0}"]
+        if rr > 1:
+            stacked = backbone_tree[f"_blocks_scan_{seg}"]["block"]
+            for j in range(1, rr):
+                out[f"_blocks_{i0 + j}"] = jax.tree_util.tree_map(
+                    lambda l, j=j: l[j - 1], stacked)
+    return out
 
 
 class EfficientNetFeatures(nn.Module):
@@ -207,6 +301,12 @@ class EfficientNetFeatures(nn.Module):
     in_channels: int = 3
     padding_mode: str = "static_same"     # static_same (ckpt-parity) | same
     drop_connect_rate: float = 0.2
+    # lax.scan over each segment's identical repeats (stacked params): same
+    # numerics (exactly, in eval; per-block drop-connect rngs differ in
+    # train), much smaller HLO -> faster first compile. Param layout changes
+    # (_blocks_scan_{seg}); use stack_mbconv_params/unstack_mbconv_params to
+    # move checkpoints between layouts.
+    scan_blocks: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -222,19 +322,39 @@ class EfficientNetFeatures(nn.Module):
                     name="_conv_stem")(x)
         x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn0")(x)
         x = nn.silu(x)
-        prev = x
         endpoints = []
         n = len(blocks)
-        for i, spec in enumerate(blocks):
-            rate = self.drop_connect_rate * float(i) / n
-            x = MBConvBlock(spec, rate, self.bn_axis_name, self.dtype,
-                            name=f"_blocks_{i}")(x, train=train)
-            if (i + 1) in ep_idx:
-                # endpoint is the input of the next segment's first block,
-                # i.e. this block's output -- reference captures prev_x at
-                # idx in endpoint_blk_indices (model.py:270-273).
-                endpoints.append(x)
-            prev = x
+        if self.scan_blocks:
+            for seg, (i0, rr) in enumerate(segment_layout(self.variant)):
+                rate0 = self.drop_connect_rate * float(i0) / n
+                x = MBConvBlock(blocks[i0], rate0, self.bn_axis_name,
+                                self.dtype, name=f"_blocks_{i0}")(
+                                    x, train=train)
+                if rr > 1:
+                    rates = jnp.asarray(
+                        [self.drop_connect_rate * float(i0 + j) / n
+                         for j in range(1, rr)], jnp.float32)
+                    scan = nn.scan(
+                        _MBConvScanBody,
+                        variable_axes={"params": 0, "batch_stats": 0},
+                        split_rngs={"params": True, "dropout": True},
+                        in_axes=0, length=rr - 1)
+                    x, _ = scan(blocks[i0 + 1], train, self.bn_axis_name,
+                                self.dtype,
+                                name=f"_blocks_scan_{seg}")(x, rates)
+                if (i0 + rr) in ep_idx:
+                    endpoints.append(x)
+        else:
+            for i, spec in enumerate(blocks):
+                rate = self.drop_connect_rate * float(i) / n
+                x = MBConvBlock(spec, rate, self.bn_axis_name, self.dtype,
+                                name=f"_blocks_{i}")(x, train=train)
+                if (i + 1) in ep_idx:
+                    # endpoint is the input of the next segment's first
+                    # block, i.e. this block's output -- reference captures
+                    # prev_x at idx in endpoint_blk_indices
+                    # (model.py:270-273).
+                    endpoints.append(x)
         x = nn.Conv(head_f, (1, 1), use_bias=False, dtype=self.dtype,
                     name="_conv_head")(x)
         x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn1")(x)

@@ -1,0 +1,111 @@
+"""scan-over-MBConv-repeats (cfg.scan_blocks): exact eval parity with the
+unrolled backbone, param-layout (un)stack shims, and checkpoint-layout
+adaptation across the train/eval CLIs."""
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+FUNDUS_DIR = "/root/reference/data/fundus/train"
+
+
+def test_efficientnet_scan_exact_parity():
+    from segtran_tpu.nn.backbones.efficientnet import (
+        EfficientNetFeatures, stack_mbconv_params, unstack_mbconv_params)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3), jnp.float32)
+    base = EfficientNetFeatures(variant="eff-b0", scan_blocks=False)
+    v = base.init(jax.random.PRNGKey(0), x)
+    f_base = base.apply(v, x)
+
+    scanm = EfficientNetFeatures(variant="eff-b0", scan_blocks=True)
+    sv = {"params": stack_mbconv_params(v["params"], "eff-b0"),
+          "batch_stats": stack_mbconv_params(v["batch_stats"], "eff-b0")}
+    assert (jax.tree_util.tree_structure(sv)
+            == jax.tree_util.tree_structure(
+                scanm.init(jax.random.PRNGKey(0), x)))
+    f_scan = scanm.apply(sv, x)
+    for a, b in zip(f_base, f_scan):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # unstack is the exact inverse
+    rt = unstack_mbconv_params(sv["params"], "eff-b0")
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(v["params"]),
+            jax.tree_util.tree_leaves_with_path(rt)):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    # train-mode grads flow through the scan
+    def loss(p):
+        out, _ = scanm.apply(
+            {"params": p, "batch_stats": sv["batch_stats"]}, x, train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+    g = jax.grad(loss)(sv["params"])
+    total = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(b).sum()), g, 0.0)
+    assert np.isfinite(total) and total > 0
+
+
+def test_segtran2d_scan_full_model_parity():
+    """Full Segtran2d logits identical between scan and unrolled backbones
+    (maybe_adapt_scan_layout restacks the whole variables tree)."""
+    from segtran_tpu.configs import Segtran2dConfig
+    from segtran_tpu.models import Segtran2d
+    from segtran_tpu.nn.backbones.efficientnet import maybe_adapt_scan_layout
+    from segtran_tpu.nn.init import init_with_reference_schemes
+
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 64, 64, 3), jnp.float32)
+    kw = dict(backbone_type="eff-b0", num_classes=3, num_attractors=8,
+              hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    cfg = Segtran2dConfig(**kw).derive(translayer_compress_ratios=(1.0, 1.0))
+    model = Segtran2d(cfg)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, x)
+    y = model.apply({"params": params, **rest}, x, train=False)
+
+    cfg_s = Segtran2dConfig(**kw, scan_blocks=True).derive(
+        translayer_compress_ratios=(1.0, 1.0))
+    model_s = Segtran2d(cfg_s)
+    params_s = maybe_adapt_scan_layout(params, "eff-b0", True)
+    rest_s = {k: maybe_adapt_scan_layout(v, "eff-b0", True)
+              for k, v in rest.items()}
+    y_s = model_s.apply({"params": params_s, **rest_s}, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_s))
+
+
+@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
+                    reason="sample data not available")
+def test_scanblocks_cli_checkpoint_interop(tmp_path):
+    """Train WITH --scanblocks, evaluate WITHOUT (and the reverse direction
+    via --cp): checkpoints adapt between layouts on load."""
+    data_root = tmp_path / "data"
+    (data_root / "fundus").mkdir(parents=True)
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
+    for f in (data_root / "fundus" / "train").glob("*.list"):
+        f.unlink()
+
+    from segtran_tpu.cli.test2d import main as test_main
+    from segtran_tpu.cli.train2d import main as train_main
+    common = ["--task", "fundus", "--split", "all", "--net", "segtran",
+              "--bb", "eff-b0", "--translayers", "1", "--attractors", "8",
+              "--bs", "2", "--origsize", "64", "--patchsize", "64",
+              "--dataroot", str(data_root)]
+    ckpt_dir = train_main(common + [
+        "--ndevices", "1", "--scanblocks", "--maxiter", "2", "--saveiter",
+        "2", "--ckptdir", str(tmp_path / "model")])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_2"))
+
+    # scan-layout checkpoint -> unrolled eval
+    test_main(common + ["--ds", "train", "--cpdir", ckpt_dir, "--iters", "2",
+                        "--outdir", str(tmp_path / "preds")])
+    # scan-layout checkpoint -> resume WITHOUT --scanblocks
+    ckpt2 = train_main(common + [
+        "--ndevices", "1", "--cp", os.path.join(ckpt_dir, "iter_2"),
+        "--maxiter", "1", "--saveiter", "1",
+        "--ckptdir", str(tmp_path / "model2")])
+    assert os.path.isdir(os.path.join(ckpt2, "iter_1"))
