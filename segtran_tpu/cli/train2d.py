@@ -162,6 +162,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tp", dest="tensor_parallel", type=int, default=1,
                    help="model-axis size for tensor-parallel weight "
                         "sharding (2D data x model mesh)")
+    p.add_argument("--ep", dest="expert_parallel", action="store_true",
+                   help="with --tp: shard the per-mode (expert) private "
+                        "weights on their mode dim so each chip computes "
+                        "whole modes (parallel/expert.py)")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true",
                    help="Pallas flash attention forward+backward in the "
@@ -777,12 +781,18 @@ def main(argv=None):
     if tp > 1:
         if n_dev % tp:
             raise ValueError(f"--tp {tp} must divide device count {n_dev}")
-        # (data x model) mesh with GSPMD weight sharding of the big kernels
+        # (data x model) mesh with GSPMD weight sharding of the big kernels;
+        # --ep additionally shards the per-mode (expert) weights on their
+        # mode dim (parallel/expert.py rationale)
         from ..parallel.tensor_parallel import (shard_state_to_mesh,
                                                 shard_train_step_2d)
         mesh = make_mesh(n_dev, axes=("data", "model"),
                          shape=(n_dev // tp, tp))
-        state, state_spec = shard_state_to_mesh(state, mesh)
+        ep_modes = (model.cfg.num_modes
+                    if args.expert_parallel and hasattr(model, "cfg")
+                    else None)
+        state, state_spec = shard_state_to_mesh(state, mesh,
+                                                expert_dim_size=ep_modes)
         sharded_step = shard_train_step_2d(step_fn, mesh, state_spec,
                                            donate_state=True)
     else:

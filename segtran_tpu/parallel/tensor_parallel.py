@@ -20,10 +20,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def leaf_sharding_rule(mesh: Mesh, axis: str = "model",
-                       min_size: int = 1 << 16):
+                       min_size: int = 1 << 16,
+                       expert_dim_size: int | None = None):
     """Shape-based rule: leaves with >= min_size elements get their widest
     mesh-divisible dimension sharded over `axis`; everything else (biases,
-    norm scales, scalars, small kernels) is replicated."""
+    norm scales, scalars, small kernels) is replicated.
+
+    expert_dim_size: expert-parallel preference (Segtran's per-mode private
+    weights are its experts -- MMPrivateLinear kernels [M, F, F] / biases
+    [M, F], nn/attention.py:113-131). Leaves whose LEADING dim equals it get
+    that dim sharded first, so each device holds whole experts and GSPMD
+    propagates the mode sharding through the per-mode einsums with no
+    weight-side collectives until the learned mode aggregation."""
     m = mesh.shape[axis]
 
     def rule(x) -> NamedSharding:
@@ -31,6 +39,9 @@ def leaf_sharding_rule(mesh: Mesh, axis: str = "model",
         size = 1
         for s in shape:
             size *= s
+        if (m > 1 and expert_dim_size and len(shape) >= 2
+                and shape[0] == expert_dim_size and shape[0] % m == 0):
+            return NamedSharding(mesh, P(*([axis] + [None] * (len(shape) - 1))))
         if m > 1 and len(shape) >= 2 and size >= min_size:
             order = sorted(range(len(shape)), key=lambda d: -shape[d])
             for d in order:
@@ -44,11 +55,12 @@ def leaf_sharding_rule(mesh: Mesh, axis: str = "model",
 
 
 def state_sharding_spec(state: Any, mesh: Mesh, axis: str = "model",
-                        min_size: int = 1 << 16) -> Any:
+                        min_size: int = 1 << 16,
+                        expert_dim_size: int | None = None) -> Any:
     """Sharding pytree for a TrainState (params, batch_stats, opt_state, rng,
     step) under the shape-based weight-sharding rule."""
-    return jax.tree_util.tree_map(leaf_sharding_rule(mesh, axis, min_size),
-                                  state)
+    return jax.tree_util.tree_map(
+        leaf_sharding_rule(mesh, axis, min_size, expert_dim_size), state)
 
 
 def shard_train_step_2d(train_step, mesh: Mesh, state_shardings,
@@ -65,8 +77,9 @@ def shard_train_step_2d(train_step, mesh: Mesh, state_shardings,
 
 
 def shard_state_to_mesh(state: Any, mesh: Mesh, axis: str = "model",
-                        min_size: int = 1 << 16):
+                        min_size: int = 1 << 16,
+                        expert_dim_size: int | None = None):
     """device_put a host/replicated TrainState into its 2D-mesh layout;
     returns (sharded_state, sharding_spec)."""
-    spec = state_sharding_spec(state, mesh, axis, min_size)
+    spec = state_sharding_spec(state, mesh, axis, min_size, expert_dim_size)
     return jax.device_put(state, spec), spec

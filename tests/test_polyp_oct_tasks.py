@@ -58,6 +58,29 @@ def test_oct_training_cli(tmp_path):
     assert os.path.isdir(os.path.join(ckpt, "iter_2"))
 
 
+@pytest.mark.skipif(not os.path.isdir(OCT_DIR),
+                    reason="sample data not available")
+def test_oct_real_list_file_split(tmp_path):
+    """--split train must read the dataset's existing train.list verbatim
+    (the reference trusts provided .list files, datasets2d.py:64-83) rather
+    than rescanning images/ or regenerating splits."""
+    root = tmp_path / "data"
+    (root / "oct").mkdir(parents=True)
+    _copy(OCT_DIR, root / "oct" / "duke")
+    listed = ["images/04-01.png"]
+    for name in ("train.list", "test.list", "all.list"):
+        with open(root / "oct" / "duke" / name, "w") as f:
+            f.write("\n".join(listed) + "\n")
+
+    from segtran_tpu.data.datasets2d import SegCrop
+    ds = SegCrop(str(root / "oct" / "duke"), split="train",
+                 out_size=(64, 128))
+    assert len(ds) == len(listed)
+    assert [os.path.basename(n) for n in ds.image_list] == ["04-01.png"]
+    sample = ds[0]
+    assert sample["image"].shape[:2] == (64, 128)
+
+
 def test_segtran2d_multimodality():
     """num_modalities > 0: modality folded into batch, max-fused after the
     in-FPN (reference segtran2d.py:321-334, 361-368)."""
