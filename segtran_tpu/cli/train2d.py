@@ -106,6 +106,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ADDA two-step adversarial training instead of "
                         "RevGrad (reference train2d.py:1278-1283)")
     p.add_argument("--reconweight", dest="recon_w", type=float, default=0.0)
+    p.add_argument("--attndiag", dest="attn_diag_cycles", type=int,
+                   default=0,
+                   help="log max-attn/avg-attn/clamp-count every N iters "
+                        "(reference attn_diag_cycles=500, "
+                        "segtran_shared.py:582-587); 0 disables")
     p.add_argument("--attnconsist", dest="use_attn_consist_loss",
                    action="store_true")
     p.add_argument("--attnconsistweight", dest="attn_consist_w", type=float,
@@ -213,6 +218,7 @@ def build_model_and_config(args, task):
             use_squeezed_transformer=args.use_squeezed_transformer,
             ablate_multihead=args.ablate_multihead,
             use_attn_consist_loss=args.use_attn_consist_loss,
+            attn_diag=getattr(args, "attn_diag_cycles", 0) > 0,
             use_fused_attention=getattr(args, "use_fused_attention", False),
             remat=getattr(args, "remat", False),
             scan_blocks=getattr(args, "scan_blocks", False),
@@ -354,8 +360,8 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     """
     import optax
     from ..train.contrast import calc_contrast_losses
-    from ..train.da import (attention_consistency_loss, collect_attn_scores,
-                            domain_adversarial_loss,
+    from ..train.da import (attention_consistency_loss, collect_attn_diag,
+                            collect_attn_scores, domain_adversarial_loss,
                             vcdr_estimation_losses)
     loss_fn = make_loss_fn(task["num_classes"], task["bce_weight"],
                            dice_w=args.max_dice_w,
@@ -363,9 +369,10 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     task_name = args.task_name
     has_aux = (disc_model is not None or recon_model is not None
                or bool(vcdr_models))
+    attn_diag_on = getattr(args, "attn_diag_cycles", 0) > 0
     need_inter = (disc_model is not None and args.adversarial_mode == "feat") \
         or args.use_attn_consist_loss or recon_model is not None \
-        or contrast_bank is not None
+        or contrast_bank is not None or attn_diag_on
 
     def map_mask(raw_mask):
         if task_name == "fundus":
@@ -405,6 +412,12 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                                                  image_small, drng)
             loss, metrics = loss_fn(logits, mask)
             all_bstats = new_bstats
+            if attn_diag_on:
+                diag = collect_attn_diag(mstate)
+                if diag is not None:
+                    metrics["attn_max"] = diag[0]
+                    metrics["attn_avg"] = diag[1]
+                    metrics["attn_clamped"] = diag[2]
             if args.use_attn_consist_loss:
                 scores = collect_attn_scores(mstate)
                 if scores:
@@ -811,6 +824,7 @@ def main(argv=None):
 
     meters = AverageMeters()
     iter_num = 0
+    diag_max, diag_clamp = 0.0, 0
     epoch = 0
     from jax.sharding import NamedSharding, PartitionSpec as P
     batch_sharding = NamedSharding(mesh, P("data"))
@@ -861,6 +875,16 @@ def main(argv=None):
                             arr = np.repeat(arr[..., :1], 3, axis=-1)
                         writer.add_image(k.replace("_preview_", "train/"),
                                          arr, iter_num, dataformats="HWC")
+            if args.attn_diag_cycles > 0 and "attn_max" in metrics:
+                diag_max = max(diag_max, float(metrics["attn_max"]))
+                diag_clamp += int(metrics["attn_clamped"])
+                if iter_num % args.attn_diag_cycles == 0:
+                    # the reference's periodic diagnostics line
+                    # (segtran_shared.py:582-587), with the same reset
+                    logger.info("max-attn: %.2f, avg-attn: %.2f, "
+                                "clamp-count: %d", diag_max,
+                                float(metrics["attn_avg"]), diag_clamp)
+                    diag_max, diag_clamp = 0.0, 0
             if iter_num % 50 == 0:
                 logger.info("iter %d (%.2f it/s): %s", iter_num,
                             iter_num / (time.time() - t0),

@@ -91,6 +91,11 @@ class TransformerConfig:
     ablate_multihead: bool = False
     use_attn_consist_loss: bool = False
 
+    # Attention runtime diagnostics: sow per-layer (max, pos-avg, clamped)
+    # attention stats; the trainers log a max-attn/avg-attn/clamp-count line
+    # on the reference's every-N-calls cadence (segtran_shared.py:582-587).
+    attn_diag: bool = False
+
     # Pallas flash-style fused attention for serving/training fast path.
     use_fused_attention: bool = False
 

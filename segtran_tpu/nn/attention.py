@@ -78,6 +78,9 @@ class TransLayerSpec:
     # Falls back to the exact XLA path when attention dropout is active, when
     # positional biases are fed into scores, or when scores must be kept.
     use_fused_attention: bool = False
+    # sow (max, pos-avg, clamped) attention stats for the trainer's periodic
+    # diagnostics line (reference segtran_shared.py:569-587)
+    keep_attn_diag: bool = False
     ln_eps: float = 1e-12
     dtype: Any = jnp.float32
 
@@ -368,6 +371,18 @@ class CrossAttFeatTrans(nn.Module):
         scores = jnp.einsum("bmqd,bmkd->bmqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(amd)
+        if s.keep_attn_diag:
+            # max / positive-mean / clamped-this-call, the stats behind the
+            # reference's every-500-calls print (segtran_shared.py:569-587).
+            # Sown (not printed): under jit the trainer surfaces them as
+            # metrics and logs on the reference's cadence.
+            sg = jax.lax.stop_gradient(scores)
+            cur_max = jnp.max(sg)
+            pos = jnp.sum((sg > 0).astype(jnp.float32))
+            cur_avg = jnp.sum(sg) / jnp.maximum(pos, 1.0)
+            self.sow("intermediates", "attn_diag",
+                     jnp.stack([cur_max, cur_avg,
+                                (cur_max > s.attn_clip).astype(jnp.float32)]))
         scores = _clamp_if_exceeds(scores, s.attn_clip)
         if pos_biases is not None:
             scores = scores + s.pos_code_weight * pos_biases

@@ -45,6 +45,7 @@ def layer_spec_from_config(cfg: TransformerConfig, layer_i: int) -> TransLayerSp
         query_idbias_scale=cfg.query_idbias_scale,
         feattrans_lin1_idbias_scale=cfg.feattrans_lin1_idbias_scale,
         pos_code_weight=cfg.pos_code_weight if cfg.pos_code_type == "bias" else 1.0,
+        keep_attn_diag=cfg.attn_diag,
         ablate_multihead=cfg.ablate_multihead,
         fix_private_output_residual=cfg.fix_private_output_residual,
         use_fused_attention=cfg.use_fused_attention,

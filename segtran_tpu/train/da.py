@@ -43,6 +43,29 @@ def collect_attn_scores(inter) -> list:
     return layers
 
 
+def collect_attn_diag(inter) -> Optional[jnp.ndarray]:
+    """Aggregate the sown per-call attention diagnostics (attention.py
+    keep_attn_diag: [max, pos-avg, clamped] per attention call) into one
+    [max over calls, mean of avgs, clamp count] vector, or None."""
+    rows = []
+
+    def walk(t):
+        if not isinstance(t, dict):
+            return
+        for k, v in t.items():
+            if k == "attn_diag":
+                rows.extend(v if isinstance(v, (tuple, list)) else [v])
+            else:
+                walk(v)
+
+    walk(inter.get("intermediates", inter))
+    if not rows:
+        return None
+    stats = jnp.stack(rows)                              # [calls, 3]
+    return jnp.stack([jnp.max(stats[:, 0]), jnp.mean(stats[:, 1]),
+                      jnp.sum(stats[:, 2])])
+
+
 def attention_consistency_loss(layers_attn_scores: Sequence,
                                mask: jnp.ndarray,
                                feat_shape: Sequence[int],
