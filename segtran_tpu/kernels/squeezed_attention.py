@@ -40,6 +40,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _auto_tiles(nq: int, n: int) -> tuple:
+    """Default (tile_q, tile_n) by problem size, from a 12-point sweep on the
+    v5e-class chip (G=4, Q=1024, N=65536, D=F=256, bf16; chained-readback
+    timing): (1024, 1024) hits 1.76 ms = 157 TFLOP/s vs 2.76 ms for the old
+    fixed (256, 512) — 1.57x. Large tiles amortize the online-softmax
+    rescaling over more MXU work; (1024, 2048) overflows VMEM. Small axes
+    keep small tiles so the padding waste of _round_up stays low (e.g. the
+    2D squeezed layer's Q=1296 would pad to 2048 with tile_q=1024)."""
+    tile_q = 1024 if nq >= 4096 else 256
+    tile_n = 1024 if n >= 4096 else 512
+    return tile_q, tile_n
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                  *, sm_scale: float, clip: float, n_valid: int, tile_n: int):
     j = pl.program_id(2)
@@ -132,7 +145,8 @@ def _fused_forward(q, k, v, attn_clip, sm_scale, tile_q, tile_n, interpret):
 def fused_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           attn_clip: float = 500.0,
                           sm_scale: Optional[float] = None,
-                          tile_q: int = 256, tile_n: int = 512,
+                          tile_q: Optional[int] = None,
+                          tile_n: Optional[int] = None,
                           interpret: bool | None = None) -> jnp.ndarray:
     """softmax(clamp(q k^T / sqrt(d), +-clip)) @ v, streamed.
 
@@ -145,8 +159,9 @@ def fused_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    out, _ = _fused_forward(q, k, v, attn_clip, sm_scale, tile_q, tile_n,
-                            interpret)
+    auto_q, auto_n = _auto_tiles(q.shape[1], k.shape[1])
+    out, _ = _fused_forward(q, k, v, attn_clip, sm_scale,
+                            tile_q or auto_q, tile_n or auto_n, interpret)
     return out[:, :q.shape[1]]
 
 
@@ -319,7 +334,9 @@ def fused_cross_attention_trainable(q, k, v, attn_clip=500.0,
 def _fca_fwd(q, k, v, attn_clip, sm_scale):
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
     interpret = jax.default_backend() != "tpu"
-    out, lse = _fused_forward(q, k, v, attn_clip, scale, 256, 512, interpret)
+    tile_q, tile_n = _auto_tiles(q.shape[1], k.shape[1])
+    out, lse = _fused_forward(q, k, v, attn_clip, scale, tile_q, tile_n,
+                              interpret)
     nq = q.shape[1]
     if k.shape[1] < FLASH_BWD_MIN_N:
         # XLA recompute backward: (q, k, v) residuals only -- don't retain
@@ -358,8 +375,9 @@ def _fca_bwd(attn_clip, sm_scale, res, g):
     if q_pad != nq:
         delta = jnp.pad(delta, ((0, 0), (0, q_pad - nq), (0, 0)))
     interpret = jax.default_backend() != "tpu"
+    tile_q, tile_n = _auto_tiles(nq, n)
     return _flash_bwd_impl(q, k, v, g, lse, delta, attn_clip, scale,
-                           256, 512, interpret)
+                           tile_q, tile_n, interpret)
 
 
 fused_cross_attention_trainable.defvjp(_fca_fwd, _fca_bwd)
