@@ -106,6 +106,14 @@ def build_argparser():
                    help="dump per-pixel (feature, label) pairs of the first "
                         "N images for t-SNE (reference test2d.py:161, "
                         "test_util2d.py:78-88); saved as pixel_features.npz")
+    p.add_argument("--vis", dest="vis_mode", default=None,
+                   choices=[None, "rf"],
+                   help="receptive-field visualization: per-layer gradient "
+                        "ERF maps saved as rf_<layer>.png/.npz (reference "
+                        "test2d.py:144-148, internal_util.py:21-58)")
+    p.add_argument("--vislayers", dest="vis_layers", default=None,
+                   help="comma-separated feature-layer indices (default all;"
+                        " reference --vislayers)")
     p.add_argument("--robust", dest="eval_robustness", action="store_true",
                    help="feature-robustness evaluation under perturbations "
                         "(reference --robust, internal_util.py:197-343)")
@@ -361,6 +369,27 @@ def main(argv=None):
         variables = {"params": params_i}
         if bstats:
             variables["batch_stats"] = bstats
+        if getattr(args, "vis_mode", None) == "rf":
+            from PIL import Image
+            from ..tools.analysis import layer_receptive_fields
+            sel = ([int(v) for v in str(args.vis_layers).split(",")]
+                   if args.vis_layers else None)
+            maps = layer_receptive_fields(
+                model, variables, tuple(task["patch_size"]) + (3,), sel)
+            vis_dir = args.outdir or args.cpdir
+            os.makedirs(vis_dir, exist_ok=True)
+            np.savez_compressed(os.path.join(vis_dir, "rf_maps.npz"), **maps)
+            for name, m in maps.items():
+                mm = m / (m.max() + 1e-12)
+                Image.fromarray((mm * 255).astype(np.uint8)).save(
+                    os.path.join(vis_dir, f"rf_{name}.png"))
+                logger.info("rf[%s]: %s, mass within center quarter %.3f",
+                            name, m.shape, float(
+                                m[m.shape[0] // 4:-m.shape[0] // 4 or None,
+                                  m.shape[1] // 4:-m.shape[1] // 4 or None]
+                                .sum() / (m.sum() + 1e-12)))
+            results[it] = maps
+            continue
         if args.eval_robustness:
             from ..tools.robustness import eval_robustness
             n = min(args.robust_sample_num, len(dataset))

@@ -106,6 +106,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ADDA two-step adversarial training instead of "
                         "RevGrad (reference train2d.py:1278-1283)")
     p.add_argument("--reconweight", dest="recon_w", type=float, default=0.0)
+    p.add_argument("--reshape", dest="reshape_mask_type", default=None,
+                   choices=[None, "rectangle"],
+                   help="mask-shape bias probe: train on masks whose "
+                        "channel-0 value-255 region is replaced by its "
+                        "min-area rectangle (reference --reshape, "
+                        "test2d.py:140-142, datasets2d.py:253-270)")
     p.add_argument("--attndiag", dest="attn_diag_cycles", type=int,
                    default=0,
                    help="log max-attn/avg-attn/clamp-count every N iters "
@@ -619,6 +625,7 @@ def main(argv=None):
             has_mask=task.get("has_mask", {}).get(name, True),
             ds_weight=task.get("ds_weight", {}).get(name, 1.0),
             uncropped_size=task.get("uncropped_size", {}).get(name, -1),
+            reshape_mask_type=getattr(args, "reshape_mask_type", None),
             out_size=task["orig_input_size"], seed=args.seed))
     dataset = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
     logger.info("%d training samples", len(dataset))

@@ -68,6 +68,8 @@ def reshape_mask(mask: np.ndarray, dim: int, value: int = 255,
         return mask
     import cv2
     fg = np.nonzero(mask[:, :, dim] == value)
+    if len(fg[0]) == 0:        # no region of that value: nothing to reshape
+        return mask
     fg_xy = np.stack(fg[::-1], axis=1).astype(np.float32)
     if shape != "rectangle":
         raise ValueError(shape)
@@ -146,6 +148,11 @@ class SegCrop:
     # image-level class labels CSV (GAMMA challenge, reference
     # datasets2d.py:272-287); None auto-detects glaucoma_label.csv
     cls_label_csv: Optional[str] = None
+    # mask-shape bias probe: 'rectangle' replaces the value-255 region of
+    # channel 0 with its min-area rectangle at load (reference --reshape,
+    # test2d.py:140-142 / datasets2d.py:253-270 — declared there but its
+    # transform wiring is commented out, test2d.py:377-381; wired live here)
+    reshape_mask_type: Optional[str] = None
     seed: int = 0
 
     def __post_init__(self):
@@ -200,6 +207,10 @@ class SegCrop:
             mask_path = os.path.join(self.base_dir,
                                      name.replace("images", "masks"))
             mask = load_mask(mask_path, self.binarize)
+            if self.reshape_mask_type:
+                m3 = mask if mask.ndim == 3 else mask[..., None]
+                mask = reshape_mask(m3, 0, 255,
+                                    shape=self.reshape_mask_type)
         else:
             mask = np.zeros(image.shape[:2] + (1,), np.uint8)
         unscaled_size = np.array(image.shape[:2])

@@ -178,13 +178,38 @@ class Segtran2d(nn.Module):
                 else:
                     curr = norm(upconv) + higher
             last_out_layer = cfg.out_fpn_layers[-len(cfg.in_fpn_layers)]
-            if cfg.bb_feat_dims[last_out_layer] != cfg.trans_out_dim:
-                curr = conv1x1(cfg.trans_out_dim, "out_fpn_bridgeconv")(curr)
-            out_feat = curr + resize_linear(vfeat_fused, curr.shape[1:-1])
-            if cfg.out_fpn_do_dropout:
+            need_bridge = cfg.bb_feat_dims[last_out_layer] != cfg.trans_out_dim
+            # Linear tail (1x1 bridge, add, upsample, 1x1 head) reassociated
+            # to run the out-FPN-resolution ops at num_classes channels and
+            # out_conv on the small fused grid — identical math when out-FPN
+            # dropout is inactive (see nn/heads.py; reference order
+            # segtran2d.py:273-312). Parity tests run this path.
+            dropout_active = (cfg.out_fpn_do_dropout and train
+                              and cfg.hidden_dropout_prob > 0)
+            if not dropout_active:
+                from ..nn.heads import (Conv1x1Params, apply_pointwise,
+                                        compose_1x1)
+                wo, bo = Conv1x1Params(cfg.num_classes, 2,
+                                       name="out_conv")(cfg.trans_out_dim)
+                if need_bridge:
+                    wb, bb_ = Conv1x1Params(cfg.trans_out_dim, 2,
+                                            name="out_fpn_bridgeconv")(
+                        curr.shape[-1])
+                    w1, b1 = compose_1x1(wb, bb_, wo, bo)
+                else:
+                    w1, b1 = wo, bo
+                scores = apply_pointwise(curr, w1, b1)
+                fused_cls = apply_pointwise(vfeat_fused, wo)  # bias in b1
+                scores = scores + resize_linear(fused_cls, curr.shape[1:-1])
+            else:
+                if need_bridge:
+                    curr = conv1x1(cfg.trans_out_dim,
+                                   "out_fpn_bridgeconv")(curr)
+                out_feat = curr + resize_linear(vfeat_fused,
+                                                curr.shape[1:-1])
                 out_feat = nn.Dropout(cfg.hidden_dropout_prob)(
                     out_feat, deterministic=not train)
-            scores = conv1x1(cfg.num_classes, "out_conv")(out_feat)
+                scores = conv1x1(cfg.num_classes, "out_conv")(out_feat)
         else:
             if 2 in cfg.in_fpn_layers:
                 scores = conv1x1(cfg.num_classes, "out_conv")(vfeat_fused)

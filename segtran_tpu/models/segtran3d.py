@@ -139,37 +139,68 @@ class Segtran3d(nn.Module):
                 else:
                     curr = norm(upconv) + higher
             last_out_layer = cfg.out_fpn_layers[-len(cfg.in_fpn_layers)]
-            up_fused = resize_linear(vfeat_fused, curr.shape[1:-1])
-            out_feat = conv1x1(cfg.trans_out_dim,
-                               "out_fpn_bridgeconv3d")(curr) + up_fused
-            out_feat_dim = cfg.trans_out_dim
+            # The whole tail below (bridge 1x1, add, 'interp' depth unpool,
+            # transpose, out_conv 1x1) is linear when out-FPN dropout is
+            # inactive, so it can be reassociated to run every
+            # curr-resolution op at num_classes channels instead of
+            # trans_out_dim — see nn/heads.py. ~256x less HBM traffic on the
+            # tail; identical math (reference order: segtran3d.py:336-396).
+            dropout_active = (cfg.out_fpn_do_dropout and train
+                              and cfg.hidden_dropout_prob > 0)
+            factored = not dropout_active and (
+                cfg.D_pool_K <= 1 or
+                cfg.out_fpn_upsampleD_scheme != "conv")
+            if factored:
+                from ..nn.heads import (Conv1x1Params, apply_pointwise,
+                                        compose_1x1)
+                wb, bb_ = Conv1x1Params(cfg.trans_out_dim, 3,
+                                        name="out_fpn_bridgeconv3d")(
+                    curr.shape[-1])
+                wo, bo = Conv1x1Params(cfg.num_classes, 3,
+                                       name="out_conv3d")(cfg.trans_out_dim)
+                w_comp, b_comp = compose_1x1(wb, bb_, wo, bo)
+                scores = apply_pointwise(curr, w_comp, b_comp)
+                fused_cls = apply_pointwise(vfeat_fused, wo)  # bias in b_comp
+                scores = scores + resize_linear(fused_cls, curr.shape[1:-1])
+                if cfg.D_pool_K > 1 and \
+                        cfg.out_fpn_upsampleD_scheme == "interp":
+                    dd = scores.shape[1] * cfg.D_pool_K
+                    scores = resize_linear(scores, (dd,) + scores.shape[2:4])
+                # frame dim -> depth-last (segtran3d.py:488)
+                scores = scores.transpose(0, 2, 3, 1, 4)
+            else:
+                up_fused = resize_linear(vfeat_fused, curr.shape[1:-1])
+                out_feat = conv1x1(cfg.trans_out_dim,
+                                   "out_fpn_bridgeconv3d")(curr) + up_fused
+                out_feat_dim = cfg.trans_out_dim
 
-            # depth unpooling (segtran3d.py:369-388)
-            if cfg.D_pool_K > 1:
-                if cfg.out_fpn_upsampleD_scheme == "conv":
-                    out_feat_dim = cfg.trans_out_dim // cfg.D_pool_K
-                    ups = conv1x1(out_feat_dim * cfg.D_pool_K,
-                                  "out_fpn_upsampleD")(out_feat)
-                    bb, dd, hh, ww, _ = ups.shape
-                    # channel-fold: output channel o = f*K + k splits into
-                    # (f, k); depth flattens as (k, d) -> k*D + d, exactly the
-                    # reference's view() ordering (segtran3d.py:376-379).
-                    ups = ups.reshape(bb, dd, hh, ww, out_feat_dim,
-                                      cfg.D_pool_K)
-                    ups = ups.transpose(0, 5, 1, 2, 3, 4)  # [B, K, D, H, W, F]
-                    out_feat = ups.reshape(bb, cfg.D_pool_K * dd, hh, ww,
-                                           out_feat_dim)
-                elif cfg.out_fpn_upsampleD_scheme == "interp":
-                    dd = out_feat.shape[1] * cfg.D_pool_K
-                    out_feat = resize_linear(
-                        out_feat, (dd,) + out_feat.shape[2:4])
-                # 'none': keep pooled depth
-            if cfg.out_fpn_do_dropout:
-                out_feat = nn.Dropout(cfg.hidden_dropout_prob)(
-                    out_feat, deterministic=not train)
-            # frame dim -> depth-last: [B, H, W, D', F] (segtran3d.py:488)
-            out_feat = out_feat.transpose(0, 2, 3, 1, 4)
-            scores = conv1x1(cfg.num_classes, "out_conv3d")(out_feat)
+                # depth unpooling (segtran3d.py:369-388)
+                if cfg.D_pool_K > 1:
+                    if cfg.out_fpn_upsampleD_scheme == "conv":
+                        out_feat_dim = cfg.trans_out_dim // cfg.D_pool_K
+                        ups = conv1x1(out_feat_dim * cfg.D_pool_K,
+                                      "out_fpn_upsampleD")(out_feat)
+                        bb, dd, hh, ww, _ = ups.shape
+                        # channel-fold: output channel o = f*K + k splits
+                        # into (f, k); depth flattens as (k, d) -> k*D + d,
+                        # exactly the reference's view() ordering
+                        # (segtran3d.py:376-379).
+                        ups = ups.reshape(bb, dd, hh, ww, out_feat_dim,
+                                          cfg.D_pool_K)
+                        ups = ups.transpose(0, 5, 1, 2, 3, 4)
+                        out_feat = ups.reshape(bb, cfg.D_pool_K * dd, hh, ww,
+                                               out_feat_dim)
+                    elif cfg.out_fpn_upsampleD_scheme == "interp":
+                        dd = out_feat.shape[1] * cfg.D_pool_K
+                        out_feat = resize_linear(
+                            out_feat, (dd,) + out_feat.shape[2:4])
+                    # 'none': keep pooled depth
+                if cfg.out_fpn_do_dropout:
+                    out_feat = nn.Dropout(cfg.hidden_dropout_prob)(
+                        out_feat, deterministic=not train)
+                # frame dim -> depth-last: [B, H, W, D', F]
+                out_feat = out_feat.transpose(0, 2, 3, 1, 4)
+                scores = conv1x1(cfg.num_classes, "out_conv3d")(out_feat)
         else:
             out_feat = vfeat_fused.transpose(0, 2, 3, 1, 4)
             scores = conv1x1(cfg.num_classes, "out_conv3d")(out_feat)

@@ -98,6 +98,63 @@ def effective_receptive_field(model, variables, input_shape,
     return np.abs(np.asarray(g[0])).mean(-1)
 
 
+def layer_receptive_fields(model, variables, input_shape,
+                           layers: Optional[Sequence[int]] = None
+                           ) -> Dict[str, np.ndarray]:
+    """Per-feature-layer gradient ERF maps (the reference's ``--vis rf``:
+    internal_util.py:21-58 probing each ``net.feature_maps[i]`` center with
+    the vendored receptivefield/ library, segtran2d.py:316-409). Layer order
+    mirrors the reference's feature_maps: the in-FPN output first, then each
+    transformer layer's fused tokens reshaped onto the FPN grid. For each
+    selected layer i we take d(sum_c feat[center])/d(input) with one
+    jax.grad and return |grad| averaged over input channels ([H, W]).
+    Models that sow no intermediates fall back to probing the output head
+    (one 'output' entry)."""
+    x = jax.random.normal(jax.random.PRNGKey(0),
+                          (1,) + tuple(input_shape)) * 0.5
+
+    def feat_list(inp):
+        _, mstate = model.apply(variables, inp, train=False,
+                                mutable=["intermediates"])
+        inter = mstate.get("intermediates", {})
+        feats = []
+        hw = None
+        if "in_fpn_feat" in inter:
+            f = inter["in_fpn_feat"][0]
+            hw = f.shape[1:3]
+            feats.append(("in_fpn", f))
+        vf = inter.get("voxel_fusion", {})
+        keys = sorted((k for k in vf if k.endswith("_vfeat")),
+                      key=lambda k: int(k.split("_")[1]))
+        for k in keys:
+            f = vf[k][0]                       # [B, N, C]
+            if hw is not None and f.ndim == 3 \
+                    and f.shape[1] == hw[0] * hw[1]:
+                f = f.reshape((f.shape[0],) + tuple(hw) + (f.shape[-1],))
+            if f.ndim == 4:
+                feats.append((k[:-len("_vfeat")], f))
+        return feats
+
+    names = [n for n, _ in feat_list(x)]
+    out: Dict[str, np.ndarray] = {}
+    if not names:
+        def probe_out(inp):
+            o = model.apply(variables, inp, train=False)
+            return jnp.sum(o[0, o.shape[1] // 2, o.shape[2] // 2])
+        g = jax.grad(probe_out)(x)
+        out["output"] = np.abs(np.asarray(g[0], np.float32)).mean(-1)
+        return out
+    sel = list(range(len(names))) if layers is None else \
+        [i for i in layers if 0 <= i < len(names)]
+    for i in sel:
+        def probe(inp, i=i):
+            f = feat_list(inp)[i][1]
+            return jnp.sum(f[0, f.shape[1] // 2, f.shape[2] // 2])
+        g = jax.jit(jax.grad(probe))(x)
+        out[names[i]] = np.abs(np.asarray(g[0], np.float32)).mean(-1)
+    return out
+
+
 def compute_dataset_stats(dataset, sample_limit: int = 500) -> Dict:
     """Per-dataset channel mean/std over images in [0,1] (reference
     calcstat.py:42-73). Returns {'mean': [...], 'std': [...]}."""

@@ -129,3 +129,86 @@ def test_test2d_savefeat_and_removefrag(tmp_path):
     from segtran_tpu.tools.analysis import tsne_features
     emb, labels = tsne_features(str(fpath))
     assert emb.shape[1] == 2 and len(emb) == len(labels)
+
+
+def test_test2d_vis_rf(tmp_path):
+    """--vis rf: per-layer gradient ERF maps (reference test2d.py:144-148,
+    internal_util.py:21-58) saved as rf_*.png + rf_maps.npz."""
+    data_root = tmp_path / "data"
+    (data_root / "fundus").mkdir(parents=True)
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
+    for f in (data_root / "fundus" / "train").glob("*.list"):
+        f.unlink()
+
+    from segtran_tpu.cli.train2d import main as train_main
+    ckpt_dir = train_main([
+        "--task", "fundus", "--split", "all", "--net", "segtran",
+        "--bb", "eff-b0", "--translayers", "2", "--attractors", "8",
+        "--maxiter", "1", "--saveiter", "1", "--bs", "2",
+        "--origsize", "64", "--patchsize", "64",
+        "--dataroot", str(data_root), "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+
+    from segtran_tpu.cli.test2d import main as eval_main
+    outdir = tmp_path / "vis"
+    results = eval_main([
+        "--task", "fundus", "--ds", "train", "--split", "all",
+        "--net", "segtran", "--bb", "eff-b0", "--translayers", "2",
+        "--attractors", "8", "--cpdir", ckpt_dir, "--iters", "1",
+        "--origsize", "64", "--patchsize", "64",
+        "--vis", "rf", "--outdir", str(outdir),
+        "--dataroot", str(data_root),
+    ])
+    maps = results[1]
+    # reference feature_maps order: in-FPN output, then one map per
+    # transformer layer (segtran2d.py:316-409)
+    assert set(maps) == {"in_fpn", "layer_0", "layer_1"}
+    for name, m in maps.items():
+        assert m.shape == (64, 64) and np.isfinite(m).all() and m.max() > 0
+        assert (outdir / f"rf_{name}.png").is_file()
+    assert (outdir / "rf_maps.npz").is_file()
+    # vislayers subset selects by index
+    sub = eval_main([
+        "--task", "fundus", "--ds", "train", "--split", "all",
+        "--net", "segtran", "--bb", "eff-b0", "--translayers", "2",
+        "--attractors", "8", "--cpdir", ckpt_dir, "--iters", "1",
+        "--origsize", "64", "--patchsize", "64",
+        "--vis", "rf", "--vislayers", "0", "--outdir", str(outdir),
+        "--dataroot", str(data_root),
+    ])[1]
+    assert set(sub) == {"in_fpn"}
+
+
+def test_reshape_mask_probe(tmp_path):
+    """--reshape rectangle: the value-255 region of channel 0 becomes its
+    min-area rectangle at load (reference datasets2d.py:253-270; its test2d
+    transform wiring is commented out upstream, test2d.py:377-381)."""
+    import cv2  # noqa: F401  (probe requires cv2; skip-free, baked in)
+    from segtran_tpu.data.datasets2d import SegCrop, reshape_mask
+
+    # unit: an L-shaped 255 region becomes its filled bounding rectangle
+    m = np.zeros((20, 20, 1), np.uint8)
+    m[2:12, 2:5, 0] = 255
+    m[2:5, 2:12, 0] = 255
+    out = reshape_mask(m, 0, 255, shape="rectangle")
+    assert out[:, :, 0].sum() > m[:, :, 0].sum()      # filled rectangle
+    assert set(np.unique(out[:, :, 0])) <= {0, 255}
+    # empty region: unchanged
+    empty = np.zeros((8, 8, 1), np.uint8)
+    assert reshape_mask(empty, 0, 255, shape="rectangle").sum() == 0
+
+    # dataset wiring: fundus fixture, background (255) rectangle-ized
+    data_root = tmp_path / "data"
+    (data_root / "fundus").mkdir(parents=True)
+    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
+    for f in (data_root / "fundus" / "train").glob("*.list"):
+        f.unlink()
+    base = str(data_root / "fundus" / "train")
+    plain = SegCrop(base_dir=base, split="all", out_size=(64, 64))
+    probed = SegCrop(base_dir=base, split="all", out_size=(64, 64),
+                     reshape_mask_type="rectangle")
+    m0 = plain[0]["mask"]
+    m1 = probed[0]["mask"]
+    assert m1.shape == m0.shape
+    assert (m1 == 255).sum() >= (m0 == 255).sum()
