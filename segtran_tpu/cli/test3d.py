@@ -65,6 +65,13 @@ def build_argparser():
                    default=None)
     p.add_argument("--attractors", dest="num_attractors", type=int,
                    default=1024)
+    p.add_argument("--upd", dest="out_fpn_upsampleD_scheme", default=None,
+                   choices=[None, "interp", "conv", "none"],
+                   help="out-FPN depth-unpool scheme; must match training "
+                        "(reference test3d.py:98)")
+    p.add_argument("--dpool", dest="d_pool_k", type=int, default=-1,
+                   help="depth pooling factor; must match training "
+                        "(reference test3d.py:40)")
     p.add_argument("--cpdir", required=True)
     p.add_argument("--iters", default=None)
     p.add_argument("--bs", dest="window_batch", type=int, default=8,
@@ -145,7 +152,14 @@ def main(argv=None):
         from ..configs import Segtran25dConfig
         cfg_cls = (Segtran3dConfig if args.segtran_type == "3d"
                    else Segtran25dConfig)
+        depth_kw = {}
+        if getattr(args, "out_fpn_upsampleD_scheme", None):
+            depth_kw["out_fpn_upsampleD_scheme"] = \
+                args.out_fpn_upsampleD_scheme
+        if getattr(args, "d_pool_k", -1) > 0:
+            depth_kw["D_pool_K"] = args.d_pool_k
         cfg = cfg_cls(
+            **depth_kw,
             num_classes=task["num_classes"],
             num_attractors=args.num_attractors,
             orig_in_channels=task["orig_in_channels"],

@@ -71,6 +71,13 @@ def build_argparser():
                         "train3d.py:115-117,426-449)")
     p.add_argument("--attnconsistweight", dest="attn_consist_w", type=float,
                    default=0.01)
+    p.add_argument("--upd", dest="out_fpn_upsampleD_scheme", default=None,
+                   choices=[None, "interp", "conv", "none"],
+                   help="out-FPN depth-unpool scheme (reference train3d.py"
+                        ":138; default: interp for 3d, conv for 25d)")
+    p.add_argument("--dpool", dest="d_pool_k", type=int, default=-1,
+                   help="depth pooling factor before the transformer "
+                        "(reference --dpool, train3d.py:164; -1 = default 2)")
     p.add_argument("--maxiter", type=int, default=10000)
     p.add_argument("--saveiter", type=int, default=500)
     p.add_argument("--bs", dest="batch_size", type=int, default=4)
@@ -153,7 +160,13 @@ def main(argv=None):
                            ",".join(["1"] * (args.num_translayers + 1))
                            ).split(","))
     cfg_cls = Segtran3dConfig if args.segtran_type == "3d" else Segtran25dConfig
+    depth_kw = {}
+    if getattr(args, "out_fpn_upsampleD_scheme", None):
+        depth_kw["out_fpn_upsampleD_scheme"] = args.out_fpn_upsampleD_scheme
+    if getattr(args, "d_pool_k", -1) > 0:
+        depth_kw["D_pool_K"] = args.d_pool_k
     cfg = cfg_cls(
+        **depth_kw,
         num_classes=task["num_classes"],
         num_attractors=args.num_attractors,
         num_modes=args.num_modes,

@@ -144,31 +144,72 @@ class Segtran25d(nn.Module):
                     curr = norm(upconv + higher)
                 else:
                     curr = norm(upconv) + higher
-            up_fused = resize_linear(vfeat_fused, curr.shape[1:-1])
-            out_feat = conv3d1(cfg.trans_out_dim,
-                               "out_fpn_bridgeconv3d")(curr) + up_fused
-            out_feat_dim = cfg.trans_out_dim
-            if cfg.D_pool_K > 1:
-                if cfg.out_fpn_upsampleD_scheme == "conv":
-                    out_feat_dim = cfg.trans_out_dim // cfg.D_pool_K
-                    ups = conv3d1(out_feat_dim * cfg.D_pool_K,
-                                  "out_fpn_upsampleD")(out_feat)
-                    bb, hh, ww, dd, _ = ups.shape
-                    # channel o = f*K + k -> (f, k); depth INTERLEAVES as
-                    # (d, k) -> d*K + k (segtran25d.py:362-366)
-                    ups = ups.reshape(bb, hh, ww, dd, out_feat_dim,
-                                      cfg.D_pool_K)
-                    ups = ups.transpose(0, 1, 2, 3, 5, 4)  # [B,H,W,D,K,F]
-                    out_feat = ups.reshape(bb, hh, ww, dd * cfg.D_pool_K,
-                                           out_feat_dim)
-                elif cfg.out_fpn_upsampleD_scheme in ("interp", "interpolate"):
-                    dd = out_feat.shape[3] * cfg.D_pool_K
-                    out_feat = resize_linear(
-                        out_feat, out_feat.shape[1:3] + (dd,))
-            if cfg.out_fpn_do_dropout:
+            # Linear tail reassociated exactly as in segtran2d/3d (see
+            # nn/heads.py): full-resolution ops at num_classes channels.
+            dropout_active = (cfg.out_fpn_do_dropout and train
+                              and cfg.hidden_dropout_prob > 0)
+            if not dropout_active:
+                from ..nn.heads import (Conv1x1Params, apply_pointwise,
+                                        compose_1x1, compose_fold_head)
+                K = cfg.D_pool_K
+                fold = K > 1 and cfg.out_fpn_upsampleD_scheme == "conv"
+                wb, bb_ = Conv1x1Params(cfg.trans_out_dim, 3,
+                                        name="out_fpn_bridgeconv3d")(
+                    curr.shape[-1])
+                if fold:
+                    fdim = cfg.trans_out_dim // K
+                    wu, bu = Conv1x1Params(fdim * K, 3,
+                                           name="out_fpn_upsampleD")(
+                        cfg.trans_out_dim)
+                    wo, bo = Conv1x1Params(cfg.num_classes, 3,
+                                           name="out_conv3d")(fdim)
+                    wo, bo = compose_fold_head(wu, bu, wo, bo, K)
+                else:
+                    wo, bo = Conv1x1Params(cfg.num_classes, 3,
+                                           name="out_conv3d")(
+                        cfg.trans_out_dim)
+                w_comp, b_comp = compose_1x1(wb, bb_, wo, bo)
+                scores = apply_pointwise(curr, w_comp, b_comp)
+                fused_cls = apply_pointwise(vfeat_fused, wo)
+                scores = scores + resize_linear(fused_cls, curr.shape[1:-1])
+                if fold:
+                    # channels (k, cls) -> depth d*K + k, the reference's
+                    # INTERLEAVED fold order (segtran25d.py:362-366): plain
+                    # reshape, (d, k) is already lexicographic
+                    b2, hh, ww, dd, _ = scores.shape
+                    scores = scores.reshape(b2, hh, ww, dd * K,
+                                            cfg.num_classes)
+                elif K > 1 and cfg.out_fpn_upsampleD_scheme in (
+                        "interp", "interpolate"):
+                    dd = scores.shape[3] * K
+                    scores = resize_linear(scores, scores.shape[1:3] + (dd,))
+            else:
+                up_fused = resize_linear(vfeat_fused, curr.shape[1:-1])
+                out_feat = conv3d1(cfg.trans_out_dim,
+                                   "out_fpn_bridgeconv3d")(curr) + up_fused
+                out_feat_dim = cfg.trans_out_dim
+                if cfg.D_pool_K > 1:
+                    if cfg.out_fpn_upsampleD_scheme == "conv":
+                        out_feat_dim = cfg.trans_out_dim // cfg.D_pool_K
+                        ups = conv3d1(out_feat_dim * cfg.D_pool_K,
+                                      "out_fpn_upsampleD")(out_feat)
+                        bb, hh, ww, dd, _ = ups.shape
+                        # channel o = f*K + k -> (f, k); depth INTERLEAVES
+                        # as (d, k) -> d*K + k (segtran25d.py:362-366)
+                        ups = ups.reshape(bb, hh, ww, dd, out_feat_dim,
+                                          cfg.D_pool_K)
+                        ups = ups.transpose(0, 1, 2, 3, 5, 4)
+                        out_feat = ups.reshape(bb, hh, ww,
+                                               dd * cfg.D_pool_K,
+                                               out_feat_dim)
+                    elif cfg.out_fpn_upsampleD_scheme in ("interp",
+                                                          "interpolate"):
+                        dd = out_feat.shape[3] * cfg.D_pool_K
+                        out_feat = resize_linear(
+                            out_feat, out_feat.shape[1:3] + (dd,))
                 out_feat = nn.Dropout(cfg.hidden_dropout_prob)(
                     out_feat, deterministic=not train)
-            scores = conv3d1(cfg.num_classes, "out_conv3d")(out_feat)
+                scores = conv3d1(cfg.num_classes, "out_conv3d")(out_feat)
         else:
             scores = conv3d1(cfg.num_classes, "out_conv3d")(vfeat_fused)
 

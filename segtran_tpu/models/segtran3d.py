@@ -147,24 +147,41 @@ class Segtran3d(nn.Module):
             # tail; identical math (reference order: segtran3d.py:336-396).
             dropout_active = (cfg.out_fpn_do_dropout and train
                               and cfg.hidden_dropout_prob > 0)
-            factored = not dropout_active and (
-                cfg.D_pool_K <= 1 or
-                cfg.out_fpn_upsampleD_scheme != "conv")
-            if factored:
+            if not dropout_active:
                 from ..nn.heads import (Conv1x1Params, apply_pointwise,
-                                        compose_1x1)
+                                        compose_1x1, compose_fold_head)
+                K = cfg.D_pool_K
+                fold = K > 1 and cfg.out_fpn_upsampleD_scheme == "conv"
                 wb, bb_ = Conv1x1Params(cfg.trans_out_dim, 3,
                                         name="out_fpn_bridgeconv3d")(
                     curr.shape[-1])
-                wo, bo = Conv1x1Params(cfg.num_classes, 3,
-                                       name="out_conv3d")(cfg.trans_out_dim)
+                if fold:
+                    # compose fold ('conv' depth-unpool) with the head too
+                    fdim = cfg.trans_out_dim // K
+                    wu, bu = Conv1x1Params(fdim * K, 3,
+                                           name="out_fpn_upsampleD")(
+                        cfg.trans_out_dim)
+                    wo, bo = Conv1x1Params(cfg.num_classes, 3,
+                                           name="out_conv3d")(fdim)
+                    wo, bo = compose_fold_head(wu, bu, wo, bo, K)
+                else:
+                    wo, bo = Conv1x1Params(cfg.num_classes, 3,
+                                           name="out_conv3d")(
+                        cfg.trans_out_dim)
                 w_comp, b_comp = compose_1x1(wb, bb_, wo, bo)
                 scores = apply_pointwise(curr, w_comp, b_comp)
                 fused_cls = apply_pointwise(vfeat_fused, wo)  # bias in b_comp
                 scores = scores + resize_linear(fused_cls, curr.shape[1:-1])
-                if cfg.D_pool_K > 1 and \
-                        cfg.out_fpn_upsampleD_scheme == "interp":
-                    dd = scores.shape[1] * cfg.D_pool_K
+                if fold:
+                    # channels (k, cls) -> depth k*D + d, the reference's
+                    # block fold order (segtran3d.py:376-379)
+                    b2, dd, hh, ww, _ = scores.shape
+                    scores = scores.reshape(b2, dd, hh, ww, K,
+                                            cfg.num_classes)
+                    scores = scores.transpose(0, 4, 1, 2, 3, 5).reshape(
+                        b2, K * dd, hh, ww, cfg.num_classes)
+                elif K > 1 and cfg.out_fpn_upsampleD_scheme == "interp":
+                    dd = scores.shape[1] * K
                     scores = resize_linear(scores, (dd,) + scores.shape[2:4])
                 # frame dim -> depth-last (segtran3d.py:488)
                 scores = scores.transpose(0, 2, 3, 1, 4)

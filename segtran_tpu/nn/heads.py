@@ -63,3 +63,23 @@ def apply_pointwise(x: jnp.ndarray, w: jnp.ndarray, b=None) -> jnp.ndarray:
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
+
+
+def compose_fold_head(w_u: jnp.ndarray, b_u, w_o: jnp.ndarray, b_o,
+                      K: int):
+    """Compose the 'conv' depth-unpool channel-fold with the 1x1 head.
+
+    The fold layer maps C -> F*K where output channel o = f*K + k
+    (segtran3d.py:376-379 / segtran25d.py:362-366), each depth slot k then
+    goes through out_conv W_o [F, ncls]. Composed pointwise map:
+        W[c, k*ncls + cls] = sum_f w_u[c, f*K + k] * w_o[f, cls]
+    Returns (W [C, K*ncls], b [K*ncls]); the caller reshapes the K*ncls
+    channels into the depth axis with the model's interleave/block order."""
+    C = w_u.shape[0]
+    F = w_u.shape[1] // K
+    wu = w_u.reshape(C, F, K)
+    w = jnp.einsum("cfk,fn->ckn", wu, w_o).reshape(C, K * w_o.shape[1])
+    b = jnp.einsum("fk,fn->kn", b_u.reshape(F, K), w_o)
+    if b_o is not None:
+        b = b + b_o[None, :]
+    return w, b.reshape(-1)

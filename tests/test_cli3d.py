@@ -195,3 +195,35 @@ def test_msd_chosen_modality_and_permute(tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "iter_1"))
     log = open(os.path.join(ckpt_dir, "log.txt")).read()
     assert "orig_in_channels probed: 1" in log
+
+
+def test_train3d_conv_depth_unpool(tmp_path):
+    """--upd conv --dpool 2 (reference train3d.py:138,164): the channel-fold
+    depth unpool trains and evaluates end-to-end; the eval path runs the
+    factored fold+head composition (nn/heads.compose_fold_head)."""
+    root = str(tmp_path / "data")
+    make_brats_fixture(root)
+
+    from segtran_tpu.cli.train3d import main as train_main
+    ckpt_dir = train_main([
+        "--task", "brats", "--ds", "2019train", "--split", "all",
+        "--translayers", "1", "--attractors", "8",
+        "--upd", "conv", "--dpool", "2",
+        "--maxiter", "2", "--saveiter", "2", "--bs", "1",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--dataroot", root, "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_2"))
+
+    from segtran_tpu.cli.test3d import main as test_main
+    results = test_main([
+        "--task", "brats", "--ds", "2019train", "--split", "all",
+        "--translayers", "1", "--attractors", "8",
+        "--upd", "conv", "--dpool", "2",
+        "--cpdir", ckpt_dir, "--iters", "2",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--bs", "4", "--dataroot", root,
+    ])
+    dice = results[2]
+    assert len(dice) == 3 and all(np.isfinite(dice))
