@@ -106,6 +106,25 @@ def build_argparser():
                    help="dump per-pixel (feature, label) pairs of the first "
                         "N images for t-SNE (reference test2d.py:161, "
                         "test_util2d.py:78-88); saved as pixel_features.npz")
+    # architecture flags: must match the training run so checkpoints load
+    # (reference test2d.py argparser)
+    p.add_argument("--modes", dest="num_modes", type=int, default=-1)
+    p.add_argument("--multihead", dest="ablate_multihead",
+                   action="store_true")
+    p.add_argument("--attnclip", dest="attn_clip", type=float, default=500.0)
+    p.add_argument("--gbias", dest="use_global_bias", action="store_true")
+    p.add_argument("--inbn", dest="in_fpn_use_bn", action="store_true")
+    p.add_argument("--nofeatup", dest="bb_feat_upsize", action="store_false")
+    p.add_argument("--posw", dest="pos_code_weight", type=float, default=1.0)
+    p.add_argument("--posr", dest="pos_bias_radius", type=int, default=7)
+    p.add_argument("--squeezeuseffn", dest="has_FFN_in_squeeze",
+                   action="store_true")
+    p.add_argument("--verbose", action="store_true",
+                   help="log per-image dice scores (reference "
+                        "test_util2d.py:72-73)")
+    p.add_argument("--flop", dest="do_flop_count", action="store_true",
+                   help="print param count + per-image forward GFLOPs "
+                        "(reference --flop, test2d.py:623-631)")
     p.add_argument("--vis", dest="vis_mode", default=None,
                    choices=[None, "rf"],
                    help="receptive-field visualization: per-layer gradient "
@@ -238,6 +257,12 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
             dice = batch_dice_per_class(hard.astype(jnp.float32), gt,
                                         num_classes)
             all_dice.append(np.asarray(dice))
+            if getattr(args, "verbose", False):
+                # per-image scores (reference test_util2d.py:72-73)
+                for i, idx in enumerate(np.asarray(batch["index"])):
+                    name = os.path.basename(dataset.image_list[int(idx)])
+                    logger.info("%s: dice %s", name,
+                                np.round(all_dice[-1][i], 4))
         if args.do_vcdr and num_classes >= 3:
             verr = jnp.abs(calc_vcdr_batch(gt) -
                            calc_vcdr_batch(hard.astype(jnp.float32)))
@@ -350,6 +375,17 @@ def main(argv=None):
     example = jnp.zeros((1,) + tuple(task["patch_size"]) + (3,), jnp.float32)
     params, rest = init_with_reference_schemes(
         model, {"params": jax.random.PRNGKey(0)}, example)
+    if getattr(args, "do_flop_count", False):
+        # params + per-image forward FLOPs via XLA cost analysis
+        # (reference --flop, fvcore FlopCountAnalysis, test2d.py:623-631)
+        from ..tools.flops import count_params, estimate_flops
+        fl = estimate_flops(
+            jax.jit(lambda v, x: model.apply(v, x, train=False)),
+            {"params": params, **rest}, example)
+        logger.info("params: %.2fM  forward: %.2f GFLOPs/img "
+                    "(%.2f GB accessed)", count_params(params) / 1e6,
+                    fl.get("flops", 0.0) / 1e9,
+                    fl.get("bytes", 0.0) / 1e9)
     results = {}
     for it in iters:
         if it is not None:

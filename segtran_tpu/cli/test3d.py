@@ -69,6 +69,31 @@ def build_argparser():
                    choices=[None, "interp", "conv", "none"],
                    help="out-FPN depth-unpool scheme; must match training "
                         "(reference test3d.py:98)")
+    # architecture flags: must match the training run so checkpoints load
+    # (reference test3d.py argparser)
+    p.add_argument("--bb", dest="backbone_type", default=None)
+    p.add_argument("--into3", dest="inchan_to3_scheme", default=None,
+                   choices=[None, "avgto3", "only1", "dup3", "bridgeconv",
+                            "stemconv"])
+    p.add_argument("--pos", dest="pos_code_type", default="lsinu",
+                   choices=["lsinu", "rand", "sinu", "none", "bias"])
+    p.add_argument("--nosqueeze", dest="use_squeezed_transformer",
+                   action="store_false")
+    p.add_argument("--multihead", dest="ablate_multihead",
+                   action="store_true")
+    p.add_argument("--modes", dest="num_modes", type=int, default=4)
+    p.add_argument("--noqkbias", dest="qk_have_bias", action="store_false")
+    p.add_argument("--infpn", dest="in_fpn_layers", default="34")
+    p.add_argument("--outfpn", dest="out_fpn_layers", default="1234")
+    p.add_argument("--attnclip", dest="attn_clip", type=float, default=500.0)
+    p.add_argument("--posw", dest="pos_code_weight", type=float, default=1.0)
+    p.add_argument("--posr", dest="pos_bias_radius", type=int, default=7)
+    p.add_argument("--squeezeuseffn", dest="has_FFN_in_squeeze",
+                   action="store_true")
+    p.add_argument("--inbn", dest="in_fpn_use_bn", action="store_true")
+    p.add_argument("--nofeatup", dest="bb_feat_upsize",
+                   action="store_false")
+    p.add_argument("--gbias", dest="use_global_bias", action="store_true")
     p.add_argument("--dpool", dest="d_pool_k", type=int, default=-1,
                    help="depth pooling factor; must match training "
                         "(reference test3d.py:40)")
@@ -78,6 +103,8 @@ def build_argparser():
                    help="windows per model call")
     p.add_argument("--patchsize", dest="orig_patch_size", default=None)
     p.add_argument("--inputsize", dest="input_patch_size", default=None)
+    p.add_argument("--scale", dest="input_scale", default=None,
+                   help="per-axis input/crop scale (reference --scale)")
     p.add_argument("--outdir", default=None)
     p.add_argument("--testinterp", dest="test_interp", default=None,
                    help="null-model sanity check: predict = GT downsampled "
@@ -109,6 +136,10 @@ def main(argv=None):
                             ("input_patch_size", args.input_patch_size)):
         if override:
             task[field] = tuple(int(v) for v in str(override).split(","))
+    if getattr(args, "input_scale", None) and not args.input_patch_size:
+        sc = [float(v) for v in str(args.input_scale).split(",")]
+        task["input_patch_size"] = tuple(
+            int(s0 * L) for s0, L in zip(sc, task["orig_patch_size"]))
     logger = setup_logging(args.cpdir, "eval3d_log.txt")
 
     if args.num_classes > 0:
@@ -158,10 +189,31 @@ def main(argv=None):
                 args.out_fpn_upsampleD_scheme
         if getattr(args, "d_pool_k", -1) > 0:
             depth_kw["D_pool_K"] = args.d_pool_k
+        if getattr(args, "backbone_type", None):
+            depth_kw["backbone_type"] = args.backbone_type
+        if getattr(args, "inchan_to3_scheme", None):
+            depth_kw["inchan_to3_scheme"] = args.inchan_to3_scheme
         cfg = cfg_cls(
             **depth_kw,
             num_classes=task["num_classes"],
             num_attractors=args.num_attractors,
+            num_modes=getattr(args, "num_modes", 4),
+            qk_have_bias=getattr(args, "qk_have_bias", True),
+            pos_code_type=getattr(args, "pos_code_type", "lsinu"),
+            use_squeezed_transformer=getattr(
+                args, "use_squeezed_transformer", True),
+            ablate_multihead=getattr(args, "ablate_multihead", False),
+            in_fpn_layers=tuple(
+                int(c) for c in getattr(args, "in_fpn_layers", "34")),
+            out_fpn_layers=tuple(
+                int(c) for c in getattr(args, "out_fpn_layers", "1234")),
+            attn_clip=getattr(args, "attn_clip", 500.0),
+            pos_code_weight=getattr(args, "pos_code_weight", 1.0),
+            pos_bias_radius=getattr(args, "pos_bias_radius", 7),
+            has_FFN_in_squeeze=getattr(args, "has_FFN_in_squeeze", False),
+            in_fpn_use_bn=getattr(args, "in_fpn_use_bn", False),
+            bb_feat_upsize=getattr(args, "bb_feat_upsize", True),
+            use_global_bias=getattr(args, "use_global_bias", False),
             orig_in_channels=task["orig_in_channels"],
             hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
             use_fused_attention=args.use_fused_attention,

@@ -106,6 +106,66 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ADDA two-step adversarial training instead of "
                         "RevGrad (reference train2d.py:1278-1283)")
     p.add_argument("--reconweight", dest="recon_w", type=float, default=0.0)
+    p.add_argument("--attnclip", dest="attn_clip", type=float, default=500.0,
+                   help="attention-score clamp (reference --attnclip, "
+                        "train2d.py:136)")
+    p.add_argument("--gbias", dest="use_global_bias", action="store_true",
+                   help="replace the transformer output with a learned "
+                        "global bias (ablation; reference --gbias)")
+    p.add_argument("--inbn", dest="in_fpn_use_bn", action="store_true",
+                   help="BatchNorm instead of GroupNorm in the input FPN "
+                        "(reference --inbn)")
+    p.add_argument("--outdrop", dest="out_fpn_do_dropout",
+                   action="store_true",
+                   help="dropout on the out-FPN features (reference "
+                        "--outdrop)")
+    p.add_argument("--nofeatup", dest="bb_feat_upsize", action="store_false",
+                   help="keep the backbone stem stride 2 (no 2x feature "
+                        "upsizing; reference --nofeatup)")
+    p.add_argument("--posw", dest="pos_code_weight", type=float, default=1.0,
+                   help="positional-code weight (reference --posw)")
+    p.add_argument("--posr", dest="pos_bias_radius", type=int, default=7,
+                   help="sliding pos-bias radius for --pos bias "
+                        "(reference --posr)")
+    p.add_argument("--squeezeuseffn", dest="has_FFN_in_squeeze",
+                   action="store_true",
+                   help="enable the FFN inside the squeeze (attractor) "
+                        "attention (reference --squeezeuseffn)")
+    p.add_argument("--locprob", dest="localization_prob", type=float,
+                   default=0.0,
+                   help="probability of mask-guided localization crop at "
+                        "load (reference --locprob, datasets2d.py:289-311)")
+    p.add_argument("--exclusive", dest="use_exclusive_masks",
+                   action="store_true",
+                   help="train on exclusive (non-nested) fundus masks "
+                        "(reference --exclusive)")
+    p.add_argument("--supweight", dest="supervised_w", type=float,
+                   default=1.0,
+                   help="weight of the supervised loss vs domain/recon "
+                        "(reference --supweight, train2d.py:1313-1318)")
+    p.add_argument("--sourcebs", dest="source_batch_size", type=int,
+                   default=-1,
+                   help="batch size of the source-domain loader for "
+                        "adversarial DA (reference --sourcebs; -1 = --bs)")
+    p.add_argument("--optfilter", dest="opt_filters", default=None,
+                   help="comma-separated substrings; only matching param "
+                        "paths are optimized (reference --optfilter, "
+                        "train2d.py:453-458)")
+    p.add_argument("--opt", dest="opt_name", default="bertadam",
+                   choices=["bertadam", "adamw", "sgd", "adam"],
+                   help="optimizer (reference --opt; adamw == bertadam)")
+    p.add_argument("--tunebn", dest="tune_bn_only", action="store_true",
+                   help="only adapt BatchNorm statistics of a loaded "
+                        "checkpoint; no gradient updates (reference "
+                        "--tunebn, train2d.py:747-751,1089-1104)")
+    p.add_argument("--robustaug", dest="robust_aug_types", default=None,
+                   help="training-time robustness augmentation: "
+                        "'brightness' and/or 'contrast', comma-separated "
+                        "(reference --robustaug, train_util.py:66-81)")
+    p.add_argument("--robustaugdeg", dest="robust_aug_degrees",
+                   default="0.5,1.5",
+                   help="robustness-aug degree range (reference "
+                        "--robustaugdeg)")
     p.add_argument("--reshape", dest="reshape_mask_type", default=None,
                    choices=[None, "rectangle"],
                    help="mask-shape bias probe: train on masks whose "
@@ -224,6 +284,14 @@ def build_model_and_config(args, task):
             use_squeezed_transformer=args.use_squeezed_transformer,
             ablate_multihead=args.ablate_multihead,
             use_attn_consist_loss=args.use_attn_consist_loss,
+            attn_clip=getattr(args, "attn_clip", 500.0),
+            use_global_bias=getattr(args, "use_global_bias", False),
+            in_fpn_use_bn=getattr(args, "in_fpn_use_bn", False),
+            out_fpn_do_dropout=getattr(args, "out_fpn_do_dropout", False),
+            bb_feat_upsize=getattr(args, "bb_feat_upsize", True),
+            pos_code_weight=getattr(args, "pos_code_weight", 1.0),
+            pos_bias_radius=getattr(args, "pos_bias_radius", 7),
+            has_FFN_in_squeeze=getattr(args, "has_FFN_in_squeeze", False),
             attn_diag=getattr(args, "attn_diag_cycles", 0) > 0,
             use_fused_attention=getattr(args, "use_fused_attention", False),
             remat=getattr(args, "remat", False),
@@ -382,7 +450,9 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
 
     def map_mask(raw_mask):
         if task_name == "fundus":
-            return fundus_map_mask(raw_mask)
+            return fundus_map_mask(
+                raw_mask,
+                exclusive=getattr(args, "use_exclusive_masks", False))
         if task_name == "polyp":
             return polyp_map_mask(raw_mask)
         return index_to_onehot(raw_mask[..., 0], task["num_classes"])
@@ -461,6 +531,12 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                 metrics["contrast_pos_loss"] = pos_cl
                 if args.do_neg_contrast:
                     metrics["contrast_neg_loss"] = neg_cl
+            # supervised vs unsupervised weighting (reference --supweight,
+            # train2d.py:1313-1318: supervised = seg + vcdr + attnconsist;
+            # domain/recon stay unscaled)
+            sup_w = getattr(args, "supervised_w", 1.0)
+            if sup_w != 1.0:
+                loss = sup_w * loss
             if has_aux:
                 all_bstats = {"net": new_bstats}
             if disc_model is not None or recon_model is not None:
@@ -559,7 +635,7 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                     jnp.float32)
                 vcdr_loss = on_estim * (vl["vcdr_estim_loss"]
                                         + on_net * vl["vcdr_net_loss"])
-                loss = loss + args.vcdr_w * vcdr_loss
+                loss = loss + sup_w * args.vcdr_w * vcdr_loss
                 metrics["vcdr_loss"] = vcdr_loss
                 metrics["vcdr_estim_loss"] = vl["vcdr_estim_loss"]
                 metrics["vcdr_net_loss"] = vl["vcdr_net_loss"]
@@ -626,12 +702,23 @@ def main(argv=None):
             ds_weight=task.get("ds_weight", {}).get(name, 1.0),
             uncropped_size=task.get("uncropped_size", {}).get(name, -1),
             reshape_mask_type=getattr(args, "reshape_mask_type", None),
+            train_loc_prob=getattr(args, "localization_prob", 0.0),
+            min_output_size=task["orig_input_size"],
             out_size=task["orig_input_size"], seed=args.seed))
     dataset = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
     logger.info("%d training samples", len(dataset))
     mean, std = load_stats(args, ds_names[0])
-    aug_cfg = Aug2dConfig(randscale=args.randscale,
-                          gray_alpha=args.gray_alpha, mean=mean, std=std)
+    rdeg = tuple(float(v) for v in
+                 str(getattr(args, "robust_aug_degrees", "0.5,1.5")
+                     ).split(","))
+    if len(rdeg) == 1:
+        rdeg = rdeg * 2      # reference train2d.py:433-435
+    aug_cfg = Aug2dConfig(
+        randscale=args.randscale, gray_alpha=args.gray_alpha,
+        robust_aug=tuple(
+            t for t in str(getattr(args, "robust_aug_types", "") or ""
+                           ).split(",") if t),
+        robust_aug_range=rdeg, mean=mean, std=std)
 
     # ---- model / optimizer ----
     model, cfg = build_model_and_config(args, task)
@@ -681,7 +768,17 @@ def main(argv=None):
         logger.info("forward FPS (bs=%d): %.2f imgs/s",
                     example.shape[0], fps * example.shape[0])
 
-    if args.polyformer_mode:
+    if getattr(args, "tune_bn_only", False):
+        # --tunebn (reference train2d.py:747-751, 1089-1104): adapt only the
+        # BatchNorm statistics of a loaded checkpoint. Gradient updates are
+        # zeroed; batch_stats still update through the train step's mutable
+        # collection — the functional equivalent of the reference's
+        # eval-mode-with-BN-.train() trick.
+        import optax
+        if not args.checkpoint_path:
+            raise SystemExit("--tunebn requires --cp <checkpoint to adapt>")
+        tx = optax.set_to_zero()
+    elif args.polyformer_mode:
         # param-subset optimization (reference train2d.py:462-503): decay=0,
         # non-selected params frozen via a zero transform
         from ..adapt.polyformer import polyformer_param_labels
@@ -698,8 +795,36 @@ def main(argv=None):
              "frozen": optax.set_to_zero()},
             labels)
     else:
-        tx = build_optimizer(lr=lr, decay=decay, t_total=args.maxiter,
-                             warmup_ratio=warmup_ratio, grad_clip=grad_clip)
+        import optax
+        opt_name = getattr(args, "opt_name", "bertadam")
+        if opt_name == "sgd":
+            # reference --opt sgd (train2d.py:1064-1065)
+            tx = optax.chain(optax.add_decayed_weights(1e-4),
+                             optax.sgd(lr, momentum=0.9))
+        elif opt_name == "adam":
+            # reference --opt adam (train2d.py:1066-1067); torch Adam's
+            # weight_decay adds to the gradient before the moment update
+            tx = optax.chain(optax.add_decayed_weights(1e-4),
+                             optax.scale_by_adam(),
+                             optax.scale(-lr))
+        else:  # bertadam / adamw
+            tx = build_optimizer(lr=lr, decay=decay, t_total=args.maxiter,
+                                 warmup_ratio=warmup_ratio,
+                                 grad_clip=grad_clip)
+        if getattr(args, "opt_filters", None):
+            # reference --optfilter (train2d.py:453-458): only params whose
+            # path contains one of the substrings are optimized
+            from flax import traverse_util
+            filters = [f for f in str(args.opt_filters).split(",") if f]
+
+            def filter_labels(params):
+                flat = traverse_util.flatten_dict(params)
+                lab = {k: ("on" if any(f in "/".join(k) for f in filters)
+                           else "off") for k in flat}
+                return traverse_util.unflatten_dict(lab)
+
+            tx = optax.multi_transform(
+                {"on": tx, "off": optax.set_to_zero()}, filter_labels)
 
     # ---- auxiliary DA modules (reference train2d.py:884-932) ----
     disc_model = recon_model = vcdr_models = None
@@ -843,14 +968,17 @@ def main(argv=None):
             yield from it
             return
         src_epoch = 0
-        src_it = batch_iterator(source_dataset, args.batch_size, src_epoch,
+        # source-domain batch size (reference --sourcebs, train2d.py:96,913)
+        src_bs = getattr(args, "source_batch_size", -1)
+        src_bs = args.batch_size if src_bs <= 0 else src_bs
+        src_it = batch_iterator(source_dataset, src_bs, src_epoch,
                                 seed=args.seed + 5, keys=("image",))
         for batch in it:
             try:
                 src = next(src_it)
             except StopIteration:
                 src_epoch += 1
-                src_it = batch_iterator(source_dataset, args.batch_size,
+                src_it = batch_iterator(source_dataset, src_bs,
                                         src_epoch, seed=args.seed + 5,
                                         keys=("image",))
                 src = next(src_it)

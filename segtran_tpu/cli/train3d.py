@@ -53,8 +53,38 @@ def build_argparser():
                         "train3d.py:228,261)")
     p.add_argument("--split", default="train", choices=["train", "all"])
     p.add_argument("--dataroot", default="../data")
+    p.add_argument("--net", default="segtran",
+                   choices=["segtran", "vnet", "unet"],
+                   help="architecture: segtran (3d/25d), V-Net or "
+                        "Modified3DUNet (reference train3d.py:80,637-649)")
     p.add_argument("--segtran", dest="segtran_type", default="3d",
                    choices=["3d", "25d"])
+    p.add_argument("--bb", dest="backbone_type", default=None,
+                   help="backbone override: i3d (3d) / eff-b* (25d) "
+                        "(reference --bb, train3d.py:82)")
+    p.add_argument("--into3", dest="inchan_to3_scheme", default=None,
+                   choices=[None, "avgto3", "only1", "dup3", "bridgeconv",
+                            "stemconv"],
+                   help="multi-modality -> 3-channel bridge scheme "
+                        "(reference --into3, segtran3d.py:117-139)")
+    p.add_argument("--pos", dest="pos_code_type", default="lsinu",
+                   choices=["lsinu", "rand", "sinu", "none", "bias"])
+    p.add_argument("--nosqueeze", dest="use_squeezed_transformer",
+                   action="store_false")
+    p.add_argument("--multihead", dest="ablate_multihead",
+                   action="store_true")
+    p.add_argument("--infpn", dest="in_fpn_layers", default="34")
+    p.add_argument("--outfpn", dest="out_fpn_layers", default="1234")
+    p.add_argument("--attnclip", dest="attn_clip", type=float, default=500.0)
+    p.add_argument("--posw", dest="pos_code_weight", type=float, default=1.0)
+    p.add_argument("--posr", dest="pos_bias_radius", type=int, default=7)
+    p.add_argument("--squeezeuseffn", dest="has_FFN_in_squeeze",
+                   action="store_true")
+    p.add_argument("--inbn", dest="in_fpn_use_bn", action="store_true")
+    p.add_argument("--outdrop", dest="out_fpn_do_dropout",
+                   action="store_true")
+    p.add_argument("--nofeatup", dest="bb_feat_upsize", action="store_false")
+    p.add_argument("--gbias", dest="use_global_bias", action="store_true")
     p.add_argument("--translayers", dest="num_translayers", type=int,
                    default=1)
     p.add_argument("--layercompress", dest="translayer_compress_ratios",
@@ -92,6 +122,9 @@ def build_argparser():
     p.add_argument("--patchsize", dest="orig_patch_size", default=None,
                    help="crop size, e.g. 112,112,96")
     p.add_argument("--inputsize", dest="input_patch_size", default=None)
+    p.add_argument("--scale", dest="input_scale", default=None,
+                   help="per-axis input/crop scale, e.g. 0.5,0.5,1 "
+                        "(reference --scale; alternative to --inputsize)")
     p.add_argument("--cp", dest="checkpoint_path", default=None)
     p.add_argument("--ckptdir", default="./model")
     p.add_argument("--seed", type=int, default=1337)
@@ -118,6 +151,12 @@ def main(argv=None):
                             ("input_patch_size", args.input_patch_size)):
         if override:
             task[field] = tuple(int(v) for v in str(override).split(","))
+    if getattr(args, "input_scale", None) and not args.input_patch_size:
+        # reference --scale (train3d.py:160,274-277): input size = scale *
+        # crop size per axis
+        sc = [float(v) for v in str(args.input_scale).split(",")]
+        task["input_patch_size"] = tuple(
+            int(s * L) for s, L in zip(sc, task["orig_patch_size"]))
     job = f"segtran{args.segtran_type}-{args.task_name}-" \
           f"{time.strftime('%m%d%H%M')}"
     ckpt_dir = os.path.join(args.ckptdir, job)
@@ -159,28 +198,62 @@ def main(argv=None):
         float(x) for x in (args.translayer_compress_ratios or
                            ",".join(["1"] * (args.num_translayers + 1))
                            ).split(","))
-    cfg_cls = Segtran3dConfig if args.segtran_type == "3d" else Segtran25dConfig
-    depth_kw = {}
-    if getattr(args, "out_fpn_upsampleD_scheme", None):
-        depth_kw["out_fpn_upsampleD_scheme"] = args.out_fpn_upsampleD_scheme
-    if getattr(args, "d_pool_k", -1) > 0:
-        depth_kw["D_pool_K"] = args.d_pool_k
-    cfg = cfg_cls(
-        **depth_kw,
-        num_classes=task["num_classes"],
-        num_attractors=args.num_attractors,
-        num_modes=args.num_modes,
-        qk_have_bias=args.qk_have_bias,
-        orig_in_channels=task["orig_in_channels"],
-        hidden_dropout_prob=args.dropout_prob,
-        attention_probs_dropout_prob=args.dropout_prob,
-        use_attn_consist_loss=args.use_attn_consist_loss,
-        remat=getattr(args, "remat", False),
-        use_fused_attention=getattr(args, "use_fused_attention", False),
-        dtype=dtype,
-    ).derive(translayer_compress_ratios=compress)
-    model = (Segtran3d(cfg) if args.segtran_type == "3d"
-             else Segtran25d(cfg))
+    if getattr(args, "net", "segtran") == "vnet":
+        from ..models.vnet import VNet
+        cfg = None
+        model = VNet(n_channels=task["orig_in_channels"],
+                     num_classes=task["num_classes"],
+                     normalization="groupnorm", dtype=dtype)
+    elif getattr(args, "net", "segtran") == "unet":
+        from ..models.unet3d import Modified3DUNet
+        cfg = None
+        model = Modified3DUNet(in_channels=task["orig_in_channels"],
+                               num_classes=task["num_classes"], dtype=dtype)
+    else:
+        cfg_cls = (Segtran3dConfig if args.segtran_type == "3d"
+                   else Segtran25dConfig)
+        depth_kw = {}
+        if getattr(args, "out_fpn_upsampleD_scheme", None):
+            depth_kw["out_fpn_upsampleD_scheme"] = \
+                args.out_fpn_upsampleD_scheme
+        if getattr(args, "d_pool_k", -1) > 0:
+            depth_kw["D_pool_K"] = args.d_pool_k
+        if getattr(args, "backbone_type", None):
+            depth_kw["backbone_type"] = args.backbone_type
+        if getattr(args, "inchan_to3_scheme", None):
+            depth_kw["inchan_to3_scheme"] = args.inchan_to3_scheme
+        cfg = cfg_cls(
+            **depth_kw,
+            num_classes=task["num_classes"],
+            num_attractors=args.num_attractors,
+            num_modes=args.num_modes,
+            qk_have_bias=args.qk_have_bias,
+            pos_code_type=getattr(args, "pos_code_type", "lsinu"),
+            use_squeezed_transformer=getattr(
+                args, "use_squeezed_transformer", True),
+            ablate_multihead=getattr(args, "ablate_multihead", False),
+            in_fpn_layers=tuple(
+                int(c) for c in getattr(args, "in_fpn_layers", "34")),
+            out_fpn_layers=tuple(
+                int(c) for c in getattr(args, "out_fpn_layers", "1234")),
+            attn_clip=getattr(args, "attn_clip", 500.0),
+            pos_code_weight=getattr(args, "pos_code_weight", 1.0),
+            pos_bias_radius=getattr(args, "pos_bias_radius", 7),
+            has_FFN_in_squeeze=getattr(args, "has_FFN_in_squeeze", False),
+            in_fpn_use_bn=getattr(args, "in_fpn_use_bn", False),
+            out_fpn_do_dropout=getattr(args, "out_fpn_do_dropout", False),
+            bb_feat_upsize=getattr(args, "bb_feat_upsize", True),
+            use_global_bias=getattr(args, "use_global_bias", False),
+            orig_in_channels=task["orig_in_channels"],
+            hidden_dropout_prob=args.dropout_prob,
+            attention_probs_dropout_prob=args.dropout_prob,
+            use_attn_consist_loss=args.use_attn_consist_loss,
+            remat=getattr(args, "remat", False),
+            use_fused_attention=getattr(args, "use_fused_attention", False),
+            dtype=dtype,
+        ).derive(translayer_compress_ratios=compress)
+        model = (Segtran3d(cfg) if args.segtran_type == "3d"
+                 else Segtran25d(cfg))
 
     input_size = tuple(task["input_patch_size"])
     num_classes = task["num_classes"]
@@ -220,6 +293,11 @@ def main(argv=None):
     tx = build_optimizer(lr=args.lr, decay=args.decay, t_total=args.maxiter,
                          warmup_ratio=warmup_ratio, grad_clip=args.grad_clip)
     aux_loss_fn = None
+    if args.use_attn_consist_loss and getattr(args, "net",
+                                              "segtran") != "segtran":
+        logger.warning("--attnconsist needs transformer attention scores; "
+                       "ignored for --net %s", args.net)
+        args.use_attn_consist_loss = False
     if args.use_attn_consist_loss:
         from ..train.da import (attention_consistency_loss_3d,
                                 collect_attn_scores)

@@ -38,6 +38,11 @@ class Aug2dConfig:
     rot90_prob: float = 0.3
     gray_alpha: float = 0.5
     colorjitter: bool = True
+    # robustness-training augmentation (reference --robustaug/--robustaugdeg,
+    # train_util.py:66-81): extra ColorJitter with an explicit factor range,
+    # e.g. robust_aug=("brightness", "contrast"), robust_aug_range=(0.5, 1.5)
+    robust_aug: Tuple[str, ...] = ()
+    robust_aug_range: Tuple[float, float] = (0.5, 1.5)
     mean: Tuple[float, ...] = (0.5, 0.5, 0.5)
     std: Tuple[float, ...] = (0.5, 0.5, 0.5)
 
@@ -139,6 +144,19 @@ def augment_sample_2d(key: jax.Array, image: jnp.ndarray, mask: jnp.ndarray,
         image = (1 - cfg.gray_alpha) * image + cfg.gray_alpha * gray
     if cfg.colorjitter:
         image = _color_jitter(keys[6], image)
+    if cfg.robust_aug:
+        lo, hi = cfg.robust_aug_range
+        rkeys = jax.random.split(keys[7], len(cfg.robust_aug))
+        for rk, kind in zip(rkeys, cfg.robust_aug):
+            f = jax.random.uniform(rk, (), minval=lo, maxval=hi)
+            if kind == "brightness":
+                image = jnp.clip(image * f, 0.0, 1.0)
+            elif kind == "contrast":
+                gray = jnp.tensordot(image, _GRAY_W, axes=[[-1], [0]])
+                mg = jnp.mean(gray)
+                image = jnp.clip(mg + (image - mg) * f, 0.0, 1.0)
+            else:
+                raise ValueError(f"unknown robust_aug {kind}")
     mean = jnp.asarray(cfg.mean)
     std = jnp.asarray(cfg.std)
     return (image - mean) / std, mask

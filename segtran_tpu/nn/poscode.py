@@ -220,17 +220,43 @@ class SegtranPosEncoder(nn.Module):
                                            ln_eps=self.ln_eps,
                                            dtype=self.dtype, name="pos_coder")
             return coder(pos_normed)
+        # rand/sinu ablation tables are sized from the REAL token grid. The
+        # reference hardcodes shape=(36, 36) (segtran_shared.py:1191-1193),
+        # which only runs when the grid is exactly 36x36 (the 2D 288^2
+        # recipe) and can never run in 3D; at 36x36 the codes below are
+        # bit-identical to the reference's.
         if self.pos_code_type == "rand":
+            grid = (tuple(spatial_shape) if len(spatial_shape) == 2
+                    else self.ablation_shape)
+            n_tokens = 1
+            for s in spatial_shape:
+                n_tokens *= int(s)
             coder = RandPosEmbedder(self.pos_dim, self.pos_embed_dim,
-                                    shape=self.ablation_shape, affine=False,
+                                    shape=(n_tokens, 1) if
+                                    len(spatial_shape) != 2 else grid,
+                                    affine=False,
                                     ln_eps=self.ln_eps, dtype=self.dtype,
                                     name="pos_coder")
             return coder(pos_normed)
         if self.pos_code_type == "sinu":
-            coder = SinuPosEmbedder(self.pos_dim, self.pos_embed_dim,
-                                    shape=self.ablation_shape,
-                                    dtype=self.dtype, name="pos_coder")
-            return coder(pos_normed)
+            if len(spatial_shape) == 2:
+                coder = SinuPosEmbedder(self.pos_dim, self.pos_embed_dim,
+                                        shape=tuple(spatial_shape),
+                                        dtype=self.dtype, name="pos_coder")
+                return coder(pos_normed)
+            # 3D grids: 1D sincos over the flattened token index (our
+            # extension -- the reference's 2D table cannot cover a 3D grid)
+            n_tokens = 1
+            for s in spatial_shape:
+                n_tokens *= int(s)
+            half = self.pos_embed_dim // 2
+            div = jnp.exp(jnp.arange(0.0, half)
+                          * (-math.log(10000.0) / half))
+            pos = jnp.arange(0.0, n_tokens)[:, None] * div[None, :]
+            table = jnp.concatenate([jnp.sin(pos), jnp.cos(pos)], axis=-1)
+            b = pos_normed.shape[0]
+            return jnp.broadcast_to(table[None].astype(self.dtype),
+                                    (b, n_tokens, self.pos_embed_dim))
         if self.pos_code_type == "none":
             coder = NoneEmbedder(self.pos_embed_dim, dtype=self.dtype,
                                  name="pos_coder")
