@@ -138,6 +138,19 @@ def build_argparser():
                         "(reference --robust, internal_util.py:197-343)")
     p.add_argument("--robustsamples", dest="robust_sample_num", type=int,
                    default=8)
+    p.add_argument("--robustaug", dest="robust_aug_types", default=None,
+                   help="restrict --robust to these perturbations "
+                        "(comma-separated; brightness/contrast/saturation/"
+                        "resize_down/resize_up/noise; reference --robustaug,"
+                        " test2d.py:154)")
+    p.add_argument("--robustaugdeg", dest="robust_aug_degrees",
+                   default="0.7,1.3",
+                   help="jitter factor range for --robust (reference "
+                        "--robustaugdeg)")
+    p.add_argument("--robustcp", dest="robust_ref_cp_path", default=None,
+                   help="second checkpoint (iter_N dir) providing the CLEAN "
+                        "reference features for --robust (reference "
+                        "--robustcp, test2d.py:159,634-638)")
     p.add_argument("--nomask", dest="has_mask", action="store_false",
                    help="predict-only mode for datasets without ground truth "
                         "(reference has_mask=False datasets, e.g. valid2)")
@@ -434,7 +447,29 @@ def main(argv=None):
             imgs = jax.image.resize(
                 imgs, (n,) + tuple(task["patch_size"]) + (imgs.shape[-1],),
                 "linear")
-            rob = eval_robustness(model, variables, imgs)
+            ref_vars = None
+            if getattr(args, "robust_ref_cp_path", None):
+                from ..nn.backbones.efficientnet import \
+                    maybe_adapt_scan_layout
+                ref_payload = load_checkpoint(args.robust_ref_cp_path, cfg)
+                ref_params = merge_params(params, maybe_adapt_scan_layout(
+                    ref_payload.get("params", {}), args.backbone_type,
+                    getattr(cfg, "scan_blocks", False)))
+                ref_vars = {"params": ref_params}
+                ref_b = merge_params(rest.get("batch_stats", {}),
+                                     ref_payload.get("batch_stats", {}))
+                if ref_b:
+                    ref_vars["batch_stats"] = ref_b
+            kw = {}
+            if getattr(args, "robust_aug_types", None):
+                kw["perturbations"] = [
+                    t for t in str(args.robust_aug_types).split(",") if t]
+            deg = tuple(float(v) for v in
+                        str(getattr(args, "robust_aug_degrees", "0.7,1.3")
+                            ).split(","))
+            rob = eval_robustness(model, variables, imgs,
+                                  degrees=deg * 2 if len(deg) == 1 else deg,
+                                  ref_variables=ref_vars, **kw)
             for pert, vals in rob.items():
                 logger.info("robustness[%s]: output_pearson=%.4f", pert,
                             vals["output_pearson"])

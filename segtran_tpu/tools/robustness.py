@@ -34,22 +34,52 @@ def lr_half_pearson(feat: jnp.ndarray) -> jnp.ndarray:
     return _pearson(feat[:, :, : w // 2], feat[:, :, w - w // 2:])
 
 
+_GRAY_W = jnp.asarray([0.299, 0.587, 0.114])
+
+
+def _resize_roundtrip(x, scale):
+    """Down(or up)-resize then restore: the reference's Resize((192,192)) /
+    Resize((432,432)) perturbations relative to 288^2 inputs
+    (internal_util.py:210-212), generalized to the input's own size."""
+    h, w = x.shape[1:3]
+    mid = (max(int(h * scale), 1), max(int(w * scale), 1))
+    y = jax.image.resize(x, (x.shape[0],) + mid + (x.shape[-1],), "linear")
+    return jax.image.resize(y, x.shape, "linear")
+
+
+# reference aug roster (internal_util.py:206-213): ColorJitter
+# brightness/contrast/saturation, Resize down/up, random noise
 PERTURBATIONS: Dict[str, Callable] = {
-    "brightness": lambda key, x: jnp.clip(
-        x * jax.random.uniform(key, (), minval=0.7, maxval=1.3), 0, 1),
-    "contrast": lambda key, x: jnp.clip(
+    "brightness": lambda key, x, lo=0.7, hi=1.3: jnp.clip(
+        x * jax.random.uniform(key, (), minval=lo, maxval=hi), 0, 1),
+    "contrast": lambda key, x, lo=0.7, hi=1.3: jnp.clip(
         x.mean() + (x - x.mean())
-        * jax.random.uniform(key, (), minval=0.7, maxval=1.3), 0, 1),
-    "noise": lambda key, x: x + 0.1 * jax.random.normal(key, x.shape),
+        * jax.random.uniform(key, (), minval=lo, maxval=hi), 0, 1),
+    "saturation": lambda key, x, lo=0.7, hi=1.3: jnp.clip(
+        jnp.tensordot(x, _GRAY_W, axes=[[-1], [0]])[..., None]
+        + (x - jnp.tensordot(x, _GRAY_W, axes=[[-1], [0]])[..., None])
+        * jax.random.uniform(key, (), minval=lo, maxval=hi), 0, 1),
+    "resize_down": lambda key, x, lo=0.0, hi=0.0: _resize_roundtrip(x, 2 / 3),
+    "resize_up": lambda key, x, lo=0.0, hi=0.0: _resize_roundtrip(x, 1.5),
+    "noise": lambda key, x, lo=0.0, hi=0.0: x + 0.1 * jax.random.normal(
+        key, x.shape),
 }
 
 
 def eval_robustness(model, variables, images: jnp.ndarray,
                     perturbations: Sequence[str] = ("brightness", "contrast",
-                                                    "noise"),
-                    seed: int = 0) -> Dict[str, Dict[str, float]]:
-    """Returns {pert: {layer_name: pearson, ..., 'lr_pearson/...': ...}}."""
-    def run(x):
+                                                    "saturation",
+                                                    "resize_down",
+                                                    "resize_up", "noise"),
+                    seed: int = 0, degrees=(0.7, 1.3),
+                    ref_variables=None) -> Dict[str, Dict[str, float]]:
+    """Returns {pert: {layer_name: pearson, ..., 'lr_pearson/...': ...}}.
+
+    ref_variables: optional second checkpoint's variables used to produce
+    the CLEAN reference features (the reference's --robustcp refnet,
+    test2d.py:634-638) — measures cross-checkpoint feature stability
+    instead of same-net perturbation stability."""
+    def run(x, variables=variables):
         out, inter = model.apply(variables, x, train=False,
                                  mutable=["intermediates"])
         feats = {}
@@ -63,12 +93,14 @@ def eval_robustness(model, variables, images: jnp.ndarray,
         walk(inter.get("intermediates", {}))
         return out, feats
 
-    base_out, base_feats = run(images)
+    base_out, base_feats = run(
+        images, variables=(ref_variables if ref_variables is not None
+                           else variables))
     results = {}
     key = jax.random.PRNGKey(seed)
     for i, pert in enumerate(perturbations):
         pkey = jax.random.fold_in(key, i)
-        x2 = PERTURBATIONS[pert](pkey, images)
+        x2 = PERTURBATIONS[pert](pkey, images, degrees[0], degrees[1])
         out2, feats2 = run(x2)
         r = {}
         for name, f in base_feats.items():

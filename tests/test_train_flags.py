@@ -182,3 +182,35 @@ def test_train3d_arch_flag_combo(tmp_path):
         "--ndevices", "1",
     ])
     assert os.path.isdir(os.path.join(ckpt_dir, "iter_1"))
+
+
+def test_test2d_robustcp_and_aug_selection(tmp_path):
+    """--robust with --robustcp (cross-checkpoint reference features,
+    reference test2d.py:634-638) and --robustaug/--robustaugdeg selection."""
+    data_root = _fixture(tmp_path)
+    from segtran_tpu.cli.train2d import main as train_main
+    from segtran_tpu.cli.test2d import main as eval_main
+    ckpt_dir = train_main([
+        "--task", "fundus", "--split", "all", "--net", "unet-scratch",
+        "--attractors", "8", "--maxiter", "2", "--saveiter", "1",
+        "--bs", "2", "--origsize", "64", "--patchsize", "64",
+        "--dataroot", str(data_root), "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    results = eval_main([
+        "--task", "fundus", "--ds", "train", "--split", "all",
+        "--net", "unet-scratch", "--attractors", "8",
+        "--cpdir", ckpt_dir, "--iters", "2",
+        "--origsize", "64", "--patchsize", "64",
+        "--robust", "--robustsamples", "2",
+        "--robustaug", "brightness,resize_down",
+        "--robustaugdeg", "0.5,1.5",
+        "--robustcp", os.path.join(ckpt_dir, "iter_1"),
+        "--dataroot", str(data_root), "--bs", "2",
+    ])
+    rob = results[2]
+    assert set(rob) == {"brightness", "resize_down"}
+    for pert in rob.values():
+        assert np.isfinite(pert["output_pearson"])
+        # cross-checkpoint features after only 1 extra iter still correlate
+        assert pert["output_pearson"] > 0.2
