@@ -114,6 +114,11 @@ def build_argparser():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true")
+    p.add_argument("--verbose", dest="verbose_output", action="store_true",
+                   help="log per-volume metrics (reference test3d.py:44)")
+    p.add_argument("--flop", dest="calc_flop", action="store_true",
+                   help="print param count + per-patch forward GFLOPs "
+                        "(reference --flop, test3d.py:348-356)")
     return p
 
 
@@ -238,6 +243,14 @@ def main(argv=None):
     params, rest = init_with_reference_schemes(
         model, {"params": jax.random.PRNGKey(0)}, example)
     num_classes = task["num_classes"]
+    if getattr(args, "calc_flop", False):
+        from ..tools.flops import count_params, estimate_flops
+        fl = estimate_flops(
+            lambda v, x: model.apply(v, x, train=False),
+            {"params": params, **rest}, example)
+        logger.info("params: %.2fM  forward: %.2f GFLOPs/patch "
+                    "(%.2f GB accessed)", count_params(params) / 1e6,
+                    fl.get("flops", 0.0) / 1e9, fl.get("bytes", 0.0) / 1e9)
 
     results = {}
     for it in parse_iters(args.iters):
@@ -316,15 +329,21 @@ def main(argv=None):
                 probs = make_brats_pred_consistent(probs)
             hard = np.asarray(harden_segmap(probs))
             gt = np.asarray(gt)
+            per_vol = []
             for cls in range(1, num_classes):
                 d = dice_score_nd(hard[..., cls], gt[..., cls])
                 j = jaccard_score(hard[..., cls], gt[..., cls])
+                per_vol.append(d)
                 meters.update(f"dice_cls{cls}", d)
                 meters.update(f"jaccard_cls{cls}", j)
                 hd, asd = surface_metrics(hard[..., cls], gt[..., cls])
                 if np.isfinite(asd):
                     meters.update(f"asd_cls{cls}", asd)
                     meters.update(f"hd95_cls{cls}", hd)
+            if getattr(args, "verbose_output", False):
+                # per-volume scores (reference --verbose, test3d.py:44)
+                logger.info("%s: dice %s", sample.get("name", vi),
+                            np.round(per_vol, 4))
             if (vi + 1) % 20 == 0:
                 logger.info("[%d/%d] %s", vi + 1, len(dataset),
                             meters.disp_str())

@@ -214,3 +214,30 @@ def test_test2d_robustcp_and_aug_selection(tmp_path):
         assert np.isfinite(pert["output_pearson"])
         # cross-checkpoint features after only 1 extra iter still correlate
         assert pert["output_pearson"] > 0.2
+
+
+def test_test3d_verbose_and_flop(tmp_path):
+    """test3d --verbose per-volume dice + --flop (reference test3d.py:44,
+    348-356)."""
+    from test_cli3d import make_brats_fixture
+    from segtran_tpu.cli.train3d import main as train_main
+    from segtran_tpu.cli.test3d import main as test_main
+    root = str(tmp_path / "data")
+    make_brats_fixture(root)
+    ckpt_dir = train_main([
+        "--task", "brats", "--ds", "2019train", "--split", "all",
+        "--net", "vnet", "--maxiter", "1", "--saveiter", "1", "--bs", "1",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--dataroot", root, "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    results = test_main([
+        "--task", "brats", "--ds", "2019train", "--split", "all",
+        "--net", "vnet", "--cpdir", ckpt_dir, "--iters", "1",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--verbose", "--flop", "--bs", "4", "--dataroot", root,
+    ])
+    assert all(np.isfinite(results[1]))
+    log = open(os.path.join(ckpt_dir, "eval3d_log.txt")).read()
+    assert "params:" in log and "GFLOPs" in log
+    assert "case0: dice" in log
