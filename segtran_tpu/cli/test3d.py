@@ -94,6 +94,10 @@ def build_argparser():
     p.add_argument("--nofeatup", dest="bb_feat_upsize",
                    action="store_false")
     p.add_argument("--gbias", dest="use_global_bias", action="store_true")
+    p.add_argument("--dgroup", dest="d_groupsize", type=int, default=-1,
+                   help="2.5D slice grouping: merge G consecutive depth "
+                        "slices into channels (reference --dgroup, "
+                        "train3d.py:162; -1 = 1)")
     p.add_argument("--dpool", dest="d_pool_k", type=int, default=-1,
                    help="depth pooling factor; must match training "
                         "(reference test3d.py:40)")
@@ -194,6 +198,8 @@ def main(argv=None):
                 args.out_fpn_upsampleD_scheme
         if getattr(args, "d_pool_k", -1) > 0:
             depth_kw["D_pool_K"] = args.d_pool_k
+        if getattr(args, "d_groupsize", -1) > 0:
+            depth_kw["D_groupsize"] = args.d_groupsize
         if getattr(args, "backbone_type", None):
             depth_kw["backbone_type"] = args.backbone_type
         if getattr(args, "inchan_to3_scheme", None):

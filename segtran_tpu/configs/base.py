@@ -208,6 +208,10 @@ class Segtran3dConfig(TransformerConfig):
     orig_in_channels: int = 4
     # depth pooling of in-FPN features before the transformer
     D_pool_K: int = 2
+    # 2.5D slice grouping: G consecutive depth slices merge into channels
+    # before the per-slice backbone (segtran25d.py:385-396; every reference
+    # recipe uses 1). Consumed by Segtran25d only.
+    D_groupsize: int = 1
     out_fpn_upsampleD_scheme: str = "interp"   # interp | conv | none
 
     @property

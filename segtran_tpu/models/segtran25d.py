@@ -45,8 +45,21 @@ class Segtran25d(nn.Module):
         conv2d1 = lambda f, name: nn.Conv(f, (1, 1), dtype=dt, name=name)
         b, h, w, d, c = batch.shape
         assert c == cfg.orig_in_channels
+        d_orig = d
 
-        # channel bridge (segtran25d.py:121-147)
+        # depth grouping: G consecutive slices merge into channels BEFORE the
+        # bridge/backbone, channel index = c*G + g (segtran25d.py:385-396;
+        # eff_in_channels = orig_in_channels * D_groupsize)
+        G = cfg.D_groupsize
+        if G > 1:
+            assert d % G == 0, (d, G)
+            batch = batch.reshape(b, h, w, d // G, G, c)
+            batch = batch.transpose(0, 1, 2, 3, 5, 4).reshape(
+                b, h, w, d // G, c * G)
+            d = d // G
+            c = c * G
+
+        # channel bridge on the (grouped) channels (segtran25d.py:121-147)
         if c != 3 and cfg.inchan_to3_scheme != "stemconv":
             if cfg.inchan_to3_scheme == "bridgeconv":
                 batch = conv3d1(3, "in_bridge_to3")(batch)
@@ -213,4 +226,4 @@ class Segtran25d(nn.Module):
         else:
             scores = conv3d1(cfg.num_classes, "out_conv3d")(vfeat_fused)
 
-        return resize_linear(scores.astype(jnp.float32), (h, w, d))
+        return resize_linear(scores.astype(jnp.float32), (h, w, d_orig))

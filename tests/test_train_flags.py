@@ -241,3 +241,23 @@ def test_test3d_verbose_and_flop(tmp_path):
     log = open(os.path.join(ckpt_dir, "eval3d_log.txt")).read()
     assert "params:" in log and "GFLOPs" in log
     assert "case0: dice" in log
+
+
+def test_train3d_25d_dgroup(tmp_path):
+    """--segtran 25d --dgroup 2: slice grouping merges G consecutive depths
+    into backbone channels (reference segtran25d.py:385-396); output is
+    restored to the full depth."""
+    from test_cli3d import make_brats_fixture
+    from segtran_tpu.cli.train3d import main as train_main
+    root = str(tmp_path / "data")
+    make_brats_fixture(root)
+    ckpt_dir = train_main([
+        "--task", "brats", "--ds", "2019train", "--split", "all",
+        "--segtran", "25d", "--dgroup", "2",
+        "--translayers", "1", "--attractors", "8",
+        "--maxiter", "1", "--saveiter", "1", "--bs", "1",
+        "--patchsize", "48,48,16", "--inputsize", "48,48,16",
+        "--dataroot", root, "--ckptdir", str(tmp_path / "model"),
+        "--ndevices", "1",
+    ])
+    assert os.path.isdir(os.path.join(ckpt_dir, "iter_1"))
