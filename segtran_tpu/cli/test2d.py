@@ -144,9 +144,9 @@ def build_argparser():
                         "resize_down/resize_up/noise; reference --robustaug,"
                         " test2d.py:154)")
     p.add_argument("--robustaugdeg", dest="robust_aug_degrees",
-                   default="0.7,1.3",
+                   default="0.5,1.5",
                    help="jitter factor range for --robust (reference "
-                        "--robustaugdeg)")
+                        "--robustaugdeg, test2d.py:157 default 0.5,1.5)")
     p.add_argument("--robustcp", dest="robust_ref_cp_path", default=None,
                    help="second checkpoint (iter_N dir) providing the CLEAN "
                         "reference features for --robust (reference "
@@ -457,7 +457,10 @@ def main(argv=None):
                     getattr(cfg, "scan_blocks", False)))
                 ref_vars = {"params": ref_params}
                 ref_b = merge_params(rest.get("batch_stats", {}),
-                                     ref_payload.get("batch_stats", {}))
+                                     maybe_adapt_scan_layout(
+                                         ref_payload.get("batch_stats", {}),
+                                         args.backbone_type,
+                                         getattr(cfg, "scan_blocks", False)))
                 if ref_b:
                     ref_vars["batch_stats"] = ref_b
             kw = {}
@@ -465,7 +468,7 @@ def main(argv=None):
                 kw["perturbations"] = [
                     t for t in str(args.robust_aug_types).split(",") if t]
             deg = tuple(float(v) for v in
-                        str(getattr(args, "robust_aug_degrees", "0.7,1.3")
+                        str(getattr(args, "robust_aug_degrees", "0.5,1.5")
                             ).split(","))
             rob = eval_robustness(model, variables, imgs,
                                   degrees=deg * 2 if len(deg) == 1 else deg,

@@ -47,8 +47,11 @@ def _auto_tiles(nq: int, n: int) -> tuple:
     fixed (256, 512) — 1.57x. Large tiles amortize the online-softmax
     rescaling over more MXU work; (1024, 2048) overflows VMEM. Small axes
     keep small tiles so the padding waste of _round_up stays low (e.g. the
-    2D squeezed layer's Q=1296 would pad to 2048 with tile_q=1024)."""
-    tile_q = 1024 if nq >= 4096 else 256
+    2D squeezed layer's Q=1296 would pad to 2048 with tile_q=1024). The
+    sweep's motivating config is the attractor-squeeze phase Q=1024, so
+    tile_q=1024 kicks in whenever Q is a >=1024 multiple of 1024 (no padding
+    waste) as well as for any nq >= 4096 (<=25% waste)."""
+    tile_q = 1024 if (nq >= 4096 or (nq >= 1024 and nq % 1024 == 0)) else 256
     tile_n = 1024 if n >= 4096 else 512
     return tile_q, tile_n
 

@@ -120,9 +120,12 @@ class Segtran25d(nn.Module):
         vmask = vmask.reshape(b, h2 * w2 * d3)
         self.sow("intermediates", "in_fpn_feat", vol)   # [B, h2, w2, d3, C]
 
-        # coordinates ordered (H, W, D) (segtran25d.py:413-436)
-        scale_h, scale_w, scale_d = h // h2, w // w2, d // d3
-        assert scale_h * h2 == h and scale_w * w2 == w and scale_d * d3 == d
+        # coordinates ordered (H, W, D) (segtran25d.py:413-436). The depth
+        # scale uses the PRE-grouping depth: reference model_scale_D = D // D3
+        # with the original D (segtran25d.py:436), i.e. G * D_pool_K when
+        # D_groupsize G > 1 — voxel depth pos codes span the raw slice index.
+        scale_h, scale_w, scale_d = h // h2, w // w2, d_orig // d3
+        assert scale_h * h2 == h and scale_w * w2 == w and scale_d * d3 == d_orig
         total_scale = jnp.asarray([[scale_h / self.input_scale[0],
                                     scale_w / self.input_scale[1],
                                     scale_d / self.input_scale[2]]],

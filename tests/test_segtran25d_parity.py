@@ -35,7 +35,12 @@ class _CudaFreeTensor:
         torch.tensor = self._orig
 
 
-def test_segtran25d_full_parity():
+@pytest.mark.parametrize("groupsize", [1, 2])
+def test_segtran25d_full_parity(groupsize):
+    # stemconv hardcodes a 4-channel stem (reference segtran25d.py:149-151
+    # _change_in_channels(4)), so eff_in_channels = orig_in_channels * G must
+    # equal 4: 4 channels at G=1, 2 channels at G=2.
+    in_ch = 4 // groupsize
     if REF not in sys.path:
         sys.path.insert(0, REF)
     if "train_util" not in sys.modules:
@@ -61,7 +66,8 @@ def test_segtran25d_full_parity():
     rcfg.num_translayers = 1
     rcfg.num_attractors = 8
     rcfg.num_classes = 4
-    rcfg.orig_in_channels = 4
+    rcfg.orig_in_channels = in_ch
+    rcfg.D_groupsize = groupsize
     rcfg.inchan_to3_scheme = "stemconv"
     rcfg.hidden_dropout_prob = 0.0
     rcfg.attention_probs_dropout_prob = 0.0
@@ -76,18 +82,34 @@ def test_segtran25d_full_parity():
 
     # patch the stale voxel_fusion call (see module docstring)
     h2 = w2 = 112 // 8
-    d3 = 8 // rcfg.D_pool_K
+    d3 = 8 // groupsize // rcfg.D_pool_K
     orig_fwd = ref_model.voxel_fusion.forward
     ref_model.voxel_fusion.forward = (
         lambda vfeat, pos, mask: orig_fwd(vfeat, pos, mask,
                                           torch.Size((h2, w2, d3))))
 
-    x = torch.randn(1, 4, 112, 112, 8)
-    with _CudaFreeTensor(), torch.no_grad():
-        y_ref = ref_model(x).numpy()
+    x = torch.randn(1, in_ch, 112, 112, 8)
+    # Reference staleness: with D_groupsize>1 the depth-group fold calls
+    # .view() on the permuted (non-contiguous) tensor (segtran25d.py:390-395),
+    # which raises in stock torch; fall back to reshape for the oracle run —
+    # same values, what the reference line intends.
+    orig_view = torch.Tensor.view
+
+    def _view_or_reshape(self, *shape):
+        try:
+            return orig_view(self, *shape)
+        except RuntimeError:
+            return self.reshape(*shape)
+    torch.Tensor.view = _view_or_reshape
+    try:
+        with _CudaFreeTensor(), torch.no_grad():
+            y_ref = ref_model(x).numpy()
+    finally:
+        torch.Tensor.view = orig_view
 
     cfg = Segtran25dConfig(
-        num_classes=4, num_attractors=8, orig_in_channels=4,
+        num_classes=4, num_attractors=8, orig_in_channels=in_ch,
+        D_groupsize=groupsize,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     ).derive(translayer_compress_ratios=(1.0, 2.0))
     model = Segtran25d(cfg)
