@@ -356,6 +356,8 @@ def main(argv=None):
             vals = tuple(int(v) for v in str(override).split(","))
             task[field] = vals * 2 if len(vals) == 1 else vals
     logger = setup_logging(args.cpdir, "eval_log.txt")
+    from ..infer.metrics import log_metric_stack
+    log_metric_stack(logger)
 
     ds_cls = {"SegCrop": SegCrop, "SegWhole": SegWhole}[task["ds_class"]]
     # --nomask wins; otherwise the per-dataset preset decides (e.g. REFUGE

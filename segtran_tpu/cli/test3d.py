@@ -150,6 +150,8 @@ def main(argv=None):
         task["input_patch_size"] = tuple(
             int(s0 * L) for s0, L in zip(sc, task["orig_patch_size"]))
     logger = setup_logging(args.cpdir, "eval3d_log.txt")
+    from ..infer.metrics import log_metric_stack
+    log_metric_stack(logger)
 
     if args.num_classes > 0:
         task["num_classes"] = args.num_classes

@@ -90,6 +90,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--diceweight", dest="max_dice_w", type=float, default=0.5)
     p.add_argument("--focus", dest="focus_class", type=int, default=-1)
     p.add_argument("--randscale", type=float, default=0.2)
+    p.add_argument("--affine", dest="do_affine", action="store_true",
+                   help="random affine aug: p=0.3 rotate(-45,45)+shear(-16,16)"
+                        " (reference train2d.py:237, train_util.py:42-49)")
     p.add_argument("--gray", dest="gray_alpha", type=float, default=0.5)
     p.add_argument("--stats", dest="stats_json", default=None,
                    help="dataset mean/std JSON (reference format)")
@@ -715,6 +718,7 @@ def main(argv=None):
         rdeg = rdeg * 2      # reference train2d.py:433-435
     aug_cfg = Aug2dConfig(
         randscale=args.randscale, gray_alpha=args.gray_alpha,
+        do_affine=getattr(args, "do_affine", False),
         robust_aug=tuple(
             t for t in str(getattr(args, "robust_aug_types", "") or ""
                            ).split(",") if t),

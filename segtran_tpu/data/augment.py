@@ -36,6 +36,12 @@ class Aug2dConfig:
     fliplr_prob: float = 0.2
     flipud_prob: float = 0.2
     rot90_prob: float = 0.3
+    # --do_affine (reference train_util.py:25-50): p=0.3 rotate(-45,45) +
+    # shear(-16,16), bilinear/reflect for images, nearest/zero for masks.
+    do_affine: bool = False
+    affine_prob: float = 0.3
+    affine_rotate_deg: float = 45.0
+    affine_shear_deg: float = 16.0
     gray_alpha: float = 0.5
     colorjitter: bool = True
     # robustness-training augmentation (reference --robustaug/--robustaugdeg,
@@ -92,6 +98,103 @@ def _rot90_k(k, x):
                               lambda a: jnp.rot90(a, 3, (0, 1))], x)
 
 
+def _reflect101(c, n):
+    """Fold a continuous coordinate into [0, n-1] by mirroring about the edge
+    pixel centers without repeating them (cv2 BORDER_REFLECT_101, what imgaug
+    'reflect' maps to)."""
+    if n == 1:
+        return jnp.zeros_like(c)
+    p = 2.0 * (n - 1)
+    c = jnp.mod(c, p)
+    return jnp.minimum(c, p - c)
+
+
+def _rand_affine(key, image, mask, rotate_deg: float, shear_deg: float):
+    """iaa.Affine(rotate=(-r, r), shear=(-s, s), order=1, mode='reflect')
+    (reference train_util.py:42-49). skimage/imgaug forward matrix in (x, y)
+    coords with unit scale: [[cos r, -sin(r+s)], [sin r, cos(r+s)]], applied
+    about the image center. Output = inverse-mapped resample: bilinear +
+    reflect-101 for the image, nearest + zero-fill for the mask (imgaug
+    resamples segmentation maps with order=0, mode='constant')."""
+    h, w = image.shape[0], image.shape[1]
+    kr, ks = jax.random.split(key)
+    r = jnp.deg2rad(jax.random.uniform(kr, (), minval=-rotate_deg,
+                                       maxval=rotate_deg))
+    s = jnp.deg2rad(jax.random.uniform(ks, (), minval=-shear_deg,
+                                       maxval=shear_deg))
+    # inverse of [[cos r, -sin(r+s)], [sin r, cos(r+s)]] (det = cos s)
+    inv_det = 1.0 / jnp.cos(s)
+    m00 = jnp.cos(r + s) * inv_det
+    m01 = jnp.sin(r + s) * inv_det
+    m10 = -jnp.sin(r) * inv_det
+    m11 = jnp.cos(r) * inv_det
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy    # [H,1]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx    # [1,W]
+    src_x = m00 * xx + m01 * yy + cx                        # [H,W]
+    src_y = m10 * xx + m11 * yy + cy
+
+    # image: bilinear on reflect-folded coords
+    fy = _reflect101(src_y, h)
+    fx = _reflect101(src_x, w)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[..., None]
+    wx = (fx - x0)[..., None]
+    img_out = (image[y0, x0] * (1 - wy) * (1 - wx)
+               + image[y0, x1] * (1 - wy) * wx
+               + image[y1, x0] * wy * (1 - wx)
+               + image[y1, x1] * wy * wx)
+
+    # mask: nearest, zero outside
+    ny = jnp.round(src_y).astype(jnp.int32)
+    nx = jnp.round(src_x).astype(jnp.int32)
+    valid = ((ny >= 0) & (ny < h) & (nx >= 0) & (nx < w))
+    msk_out = mask[jnp.clip(ny, 0, h - 1), jnp.clip(nx, 0, w - 1)]
+    msk_out = msk_out * valid[..., None].astype(msk_out.dtype)
+    return img_out, msk_out
+
+
+def _axis_fit_index(src_size: int, tgt_size: int, off, coords):
+    """Source index along one axis for PadToFixedSize+CropToFixedSize
+    (imgaug defaults: uniform random position). Returns (index, valid)."""
+    if src_size >= tgt_size:        # crop: offset in [0, src-tgt]
+        idx = coords + off
+        return idx, jnp.ones(coords.shape, bool)
+    idx = coords - off              # pad: offset in [0, tgt-src]
+    return jnp.clip(idx, 0, src_size - 1), (idx >= 0) & (idx < src_size)
+
+
+def _rot90_nonsquare(key, k, image, mask):
+    """Rot90 for H != W: rotate (shape [W, H]) then imgaug-style
+    PadToFixedSize + CropToFixedSize back to [H, W] at uniform random
+    positions (reference train_util.py:41-56: the fixed-size pad/crop pair
+    restores the target size after the shape-changing Rot90)."""
+    h, w = image.shape[0], image.shape[1]
+    koy, kox = jax.random.split(key)
+    # rotated canvas for k in {1, 3} is [W, H]: rows come from W, cols from H
+    oy = jax.random.randint(koy, (), 0, abs(w - h) + 1)
+    ox = jax.random.randint(kox, (), 0, abs(h - w) + 1)
+    ys, yv = _axis_fit_index(w, h, oy, jnp.arange(h))
+    xs, xv = _axis_fit_index(h, w, ox, jnp.arange(w))
+    valid = (yv[:, None] & xv[None, :])[..., None]
+
+    def odd(a, kk):
+        rot = jnp.rot90(a, kk, (0, 1))          # [W, H, C]
+        return rot[ys][:, xs] * valid.astype(a.dtype)
+
+    def branches(a):
+        return [lambda a=a: a,
+                lambda a=a: odd(a, 1),
+                lambda a=a: jnp.rot90(a, 2, (0, 1)),
+                lambda a=a: odd(a, 3)]
+
+    return (jax.lax.switch(k, branches(image)),
+            jax.lax.switch(k, branches(mask)))
+
+
 def _color_jitter(key, image):
     """torchvision ColorJitter RandomChoice (train_util.py:59-64): one of
     brightness(0.2) / contrast(0.2) / saturation(0.2) / all(0.1). image in
@@ -122,7 +225,7 @@ def augment_sample_2d(key: jax.Array, image: jnp.ndarray, mask: jnp.ndarray,
                       cfg: Aug2dConfig):
     """image: [H, W, 3] float in [0,1]; mask: [H, W, C] (n-hot or raw).
     Returns (image_normalized, mask)."""
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 11)
     if cfg.randscale > 0:
         do = jax.random.uniform(keys[0], ()) < cfg.crop_pad_prob
         img2, msk2 = _rand_crop_and_pad(keys[1], image, mask, cfg.randscale)
@@ -134,11 +237,19 @@ def augment_sample_2d(key: jax.Array, image: jnp.ndarray, mask: jnp.ndarray,
     flip_u = jax.random.uniform(keys[3], ()) < cfg.flipud_prob
     image = jnp.where(flip_u, image[::-1], image)
     mask = jnp.where(flip_u, mask[::-1], mask)
+    do_rot = jax.random.uniform(keys[4], ()) < cfg.rot90_prob
+    k = jnp.where(do_rot, jax.random.randint(keys[5], (), 1, 4), 0)
     if image.shape[0] == image.shape[1]:
-        do_rot = jax.random.uniform(keys[4], ()) < cfg.rot90_prob
-        k = jnp.where(do_rot, jax.random.randint(keys[5], (), 1, 4), 0)
         image = _rot90_k(k, image)
         mask = _rot90_k(k, mask)
+    else:
+        image, mask = _rot90_nonsquare(keys[8], k, image, mask)
+    if cfg.do_affine:
+        do_aff = jax.random.uniform(keys[10], ()) < cfg.affine_prob
+        img2, msk2 = _rand_affine(keys[9], image, mask,
+                                  cfg.affine_rotate_deg, cfg.affine_shear_deg)
+        image = jnp.where(do_aff, img2, image)
+        mask = jnp.where(do_aff, msk2, mask)
     if cfg.gray_alpha > 0:
         gray = jnp.tensordot(image, _GRAY_W, axes=[[-1], [0]])[..., None]
         image = (1 - cfg.gray_alpha) * image + cfg.gray_alpha * gray

@@ -10,6 +10,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def have_medpy() -> bool:
+    try:
+        from medpy.metric import binary as _  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def log_metric_stack(logger) -> None:
+    """One startup line saying which metrics will be reported: without medpy
+    the surface metrics (hd95/asd) come back NaN and are silently dropped
+    from averages, so say so up front."""
+    if have_medpy():
+        logger.info("metric stack: dice, jaccard, hd95, asd (medpy present)")
+    else:
+        logger.info("metric stack: dice, jaccard only -- medpy not installed,"
+                    " hd95/asd will be NaN and excluded from averages")
+
+
 def dice_score(pred: jnp.ndarray, gt: jnp.ndarray,
                smooth: float = 1e-5) -> jnp.ndarray:
     """Dice over the last two (or more) spatial dims; inputs same shape,

@@ -81,6 +81,9 @@ class TransLayerSpec:
     # sow (max, pos-avg, clamped) attention stats for the trainer's periodic
     # diagnostics line (reference segtran_shared.py:569-587)
     keep_attn_diag: bool = False
+    # exact matmul reassociations exploiting A << N in the squeezed layer
+    # (see ExpandedFeatTrans.__call__); same math, fewer FLOPs.
+    reassociate: bool = True
     ln_eps: float = 1e-12
     dtype: Any = jnp.float32
 
@@ -113,6 +116,66 @@ class LearnedSoftAggregate(nn.Module):
         return jnp.sum(x * probs, axis=self.group_dim, keepdims=self.keepdim)
 
 
+class _SharedLinear(nn.Module):
+    """Parameter-compatible stand-in for the nn.Dense inside MMSharedMid /
+    ExpandedFeatTrans (same scope/param names, same promote-dtype math on the
+    plain path), extended with attention-reassociation entry points:
+
+      * ``probs``: return probs @ (x W) + b computed as the cheaper
+        (x W) first when x is the small attractor side -- used by the
+        shared-mid reassociation (see ExpandedFeatTrans.__call__).
+      * ``stage='premul'``: return x W only (no bias) for feeding a streaming
+        attention kernel as its V operand.
+      * ``stage='post'``: return x + b -- finish a deferred premul after the
+        kernel contracted probs into x W.
+
+    Reassociation is exact: P (X W) == (P X) W for any P (matmul
+    associativity); the bias is exact because it is added AFTER the probs
+    contraction in all modes.
+    """
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = _normal(0.02)
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = jnp.float32
+    in_features: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, probs: Optional[jnp.ndarray] = None,
+                 stage: str = "full") -> jnp.ndarray:
+        in_feat = self.in_features if stage == "post" else x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_feat, self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        if stage == "post":
+            return x + bias.astype(self.dtype) if bias is not None else x
+        if probs is None and stage == "full":
+            # identical math to flax nn.Dense
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype)
+            y = jax.lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+            return y + bias if bias is not None else y
+        if stage == "grouped":
+            # x: probs-contracted features [B, M, U1, C]; kernel [C, M*F]
+            # applied per-mode: channel m*F+f of the reference's expansion
+            # belongs to (mode m, feature f) -- see compute_v.
+            m = x.shape[1]
+            ker = kernel.astype(self.dtype).reshape(
+                in_feat, m, self.features // m)
+            assert bias is None, "grouped premul requires v_has_bias=False"
+            return jnp.einsum("bmqc,cmf->bmqf", x.astype(self.dtype), ker,
+                              preferred_element_type=self.dtype)
+        xw = jnp.einsum("...kc,cf->...kf", x.astype(self.dtype),
+                        kernel.astype(self.dtype),
+                        preferred_element_type=self.dtype)
+        if stage == "premul":
+            return xw
+        y = jnp.einsum("bmqk,bmkf->bmqf", probs, xw,
+                       preferred_element_type=self.dtype)
+        return y + bias.astype(self.dtype) if bias is not None else y
+
+
 class MMPrivateLinear(nn.Module):
     """Per-mode private linear, the TPU-native equivalent of the reference's
     grouped 1x1 Conv1d (segtran_shared.py:200-218, 255-275). One einsum over a
@@ -135,17 +198,30 @@ class MMPrivateLinear(nn.Module):
 
 class MMSharedMid(nn.Module):
     """Shared FFN middle: Linear(F->F) + GELU + dropout
-    (reference segtran_shared.py:220-251)."""
+    (reference segtran_shared.py:220-251).
+
+    ``probs`` reassociates the preceding attention contraction through the
+    shared linear: gelu((P V) W + b) == gelu(P (V W) + b), so when V lives on
+    the small attractor side the N-token mid matmul collapses to an
+    A-attractor one. ``stage='premul'`` / ``'post'`` split the same algebra
+    around a streaming attention kernel (V W fed as the kernel's V operand).
+    """
     num_modes: int
     feat_dim: int
     hidden_dropout_prob: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        y = nn.Dense(self.feat_dim, name="shared_linear",
-                     kernel_init=_normal(0.02),
-                     bias_init=nn.initializers.zeros, dtype=self.dtype)(x)
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 probs: Optional[jnp.ndarray] = None,
+                 stage: str = "full") -> jnp.ndarray:
+        y = _SharedLinear(self.feat_dim, name="shared_linear",
+                          kernel_init=_normal(0.02),
+                          bias_init=nn.initializers.zeros, dtype=self.dtype,
+                          in_features=self.feat_dim)(x, probs=probs,
+                                                     stage=stage)
+        if stage == "premul":
+            return y
         y = _gelu_exact(y)
         return nn.Dropout(self.hidden_dropout_prob)(y, deterministic=deterministic)
 
@@ -221,7 +297,7 @@ class ExpandedFeatTrans(nn.Module):
 
     def setup(self):
         s = self.spec
-        self.first_linear = nn.Dense(
+        self.first_linear = _SharedLinear(
             s.feat_dim * s.num_modes, use_bias=s.v_has_bias,
             kernel_init=_normal(s.base_initializer_range),
             bias_init=nn.initializers.zeros, dtype=s.dtype, name="first_linear")
@@ -266,6 +342,31 @@ class ExpandedFeatTrans(nn.Module):
         v = self.first_linear(input_feat)
         return v.reshape(b, u2, s.num_modes, s.feat_dim).transpose(0, 2, 1, 3)
 
+    def supports_mid_premul(self) -> bool:
+        """Whether the V W1 push-through (see __call__ Path B) is valid for
+        this spec -- used by the fused-attention branch to feed V W1 as the
+        streaming kernel's V operand."""
+        s = self.spec
+        return (s.reassociate and not s.v_has_bias and s.has_FFN
+                and s.mid_type == "shared"
+                and s.trans_output_type == "private"
+                and not s.fix_private_output_residual
+                and s.pool_modes_feat in ("softmax", "max", "mean", "none"))
+
+    def apply_mid_premul(self, in_key: jnp.ndarray) -> jnp.ndarray:
+        """[B, U2, C] -> V W1 [B, M, U2, F] (no bias): the operand a streaming
+        attention kernel contracts with P in place of V."""
+        return self.intermediate(self.compute_v(in_key), stage="premul")
+
+    def finish_from_mid_premul(self, mid_pre: jnp.ndarray,
+                               deterministic: bool = True) -> jnp.ndarray:
+        """Continue after the kernel: mid = dropout(gelu(mid_pre + b1)),
+        private output (residual dropped per the reference quirk), pool."""
+        mid = self.intermediate(mid_pre, deterministic=deterministic,
+                                stage="post")
+        last = self.output(mid, None, deterministic=deterministic)
+        return self._pool_modes(last)
+
     def __call__(self, input_feat: jnp.ndarray,
                  attention_probs: Optional[jnp.ndarray] = None,
                  fused: Optional[jnp.ndarray] = None,
@@ -281,10 +382,37 @@ class ExpandedFeatTrans(nn.Module):
                  s.feattrans_lin1_idbias_scale, s.base_initializer_range],
                 dtype=jnp.float32))
         if fused is None:
-            v = self.compute_v(input_feat)
-            # Fuse values: [B,M,U1,U2] @ [B,M,U2,F] -> [B,M,U1,F].
-            fused = jnp.einsum("bmqk,bmkf->bmqf", attention_probs, v,
-                               preferred_element_type=s.dtype)
+            u1, u2 = attention_probs.shape[2], attention_probs.shape[3]
+            if s.reassociate and not s.v_has_bias and u2 > u1:
+                # MXU reassociation, exact: P (X Wv) == (P X) Wv. On the
+                # squeeze-in side (queries = A attractors << U2 = N tokens)
+                # contracting P into the raw features first shrinks the token
+                # axis from N to A before the fat Wv matmul -- ~N/A x fewer
+                # FLOPs there and no [B,M,N,F] V materialization.
+                px = jnp.einsum("bmqk,bkc->bmqc", attention_probs,
+                                input_feat.astype(s.dtype),
+                                preferred_element_type=s.dtype)
+                fused = self.first_linear(px, stage="grouped")
+            elif (s.reassociate and not s.v_has_bias and u2 < u1
+                  and s.has_FFN and s.mid_type == "shared"
+                  and s.trans_output_type == "private"
+                  and not s.fix_private_output_residual):
+                # Attractor-out side (queries = N >> keys = A): push the
+                # shared FFN-mid weight through the tiny attractor-side V:
+                # gelu((P V) W1 + b1) == gelu(P (V W1) + b1). Skips both the
+                # N-token mid matmul and the [B,M,N,F] fused tensor; valid
+                # because MMPrivateOutput drops its residual (the reference
+                # quirk), so `fused` is never consumed downstream.
+                v = self.compute_v(input_feat)
+                mid = self.intermediate(v, deterministic=deterministic,
+                                        probs=attention_probs)
+                last = self.output(mid, None, deterministic=deterministic)
+                return self._pool_modes(last)
+            else:
+                v = self.compute_v(input_feat)
+                # Fuse values: [B,M,U1,U2] @ [B,M,U2,F] -> [B,M,U1,F].
+                fused = jnp.einsum("bmqk,bmkf->bmqf", attention_probs, v,
+                                   preferred_element_type=s.dtype)
 
         if not s.has_FFN:
             # Aggregate-only path (segtran_shared.py:452-457); used by the
@@ -297,7 +425,10 @@ class ExpandedFeatTrans(nn.Module):
         mid = self.intermediate(fused, deterministic=deterministic) \
             if self.intermediate is not None else _gelu_exact(fused)
         last = self.output(mid, fused, deterministic=deterministic)
+        return self._pool_modes(last)
 
+    def _pool_modes(self, last: jnp.ndarray) -> jnp.ndarray:
+        s = self.spec
         if s.pool_modes_feat == "softmax":
             return self.feat_softaggr(last)
         if s.pool_modes_feat == "max":
@@ -359,8 +490,19 @@ class CrossAttFeatTrans(nn.Module):
             from ..kernels.squeezed_attention import (
                 fused_cross_attention_trainable)
             out_trans = ExpandedFeatTrans(s, name="out_trans")
-            v = out_trans.compute_v(in_key)                # [B,M,U2,F]
             f = s.feat_dim
+            if u2 < u1 and out_trans.supports_mid_premul():
+                # Reassociated streaming path: the kernel contracts P with
+                # V W1 instead of V (gelu((P V) W1 + b1) == gelu(P (V W1) +
+                # b1)), skipping the U1-token mid matmul entirely.
+                vw = out_trans.apply_mid_premul(in_key)    # [B,M,U2,F]
+                mid_pre = fused_cross_attention_trainable(
+                    q.reshape(b * m, u1, amd), k.reshape(b * m, u2, amd),
+                    vw.reshape(b * m, u2, f), s.attn_clip)
+                mid_pre = mid_pre.reshape(b, m, u1, f).astype(s.dtype)
+                return out_trans.finish_from_mid_premul(
+                    mid_pre, deterministic=deterministic)
+            v = out_trans.compute_v(in_key)                # [B,M,U2,F]
             fused = fused_cross_attention_trainable(
                 q.reshape(b * m, u1, amd), k.reshape(b * m, u2, amd),
                 v.reshape(b * m, u2, f), s.attn_clip)

@@ -227,3 +227,39 @@ def test_attn_clamp_semantics():
     out2 = _clamp_if_exceeds(s2, 500.0)
     np.testing.assert_allclose(np.asarray(out2),
                                [[-500.0, 10.0], [3.0, 500.0]])
+
+
+def test_reassociation_exactness():
+    """The squeezed-layer matmul reassociations (ExpandedFeatTrans Path A/B:
+    P(XW)==( PX)W and gelu((PV)W1+b1)==gelu(P(VW1)+b1)) must match the naive
+    path on the SAME params to fp32 roundoff, forward and backward."""
+    import dataclasses
+    import jax
+    from segtran_tpu.nn.attention import (TransLayerSpec,
+                                          SqueezedAttFeatTrans)
+    spec = TransLayerSpec(in_feat_dim=64, feat_dim=48, num_modes=4,
+                          attention_probs_dropout_prob=0.0,
+                          hidden_dropout_prob=0.0, qk_have_bias=False,
+                          reassociate=True)
+    spec_off = dataclasses.replace(spec, reassociate=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 64))
+    m_on = SqueezedAttFeatTrans(spec, num_attractors=16)
+    m_off = SqueezedAttFeatTrans(spec_off, num_attractors=16)
+    p = m_off.init({"params": jax.random.PRNGKey(1)}, x)
+    y_off = m_off.apply(p, x)
+    y_on = m_on.apply(p, x)    # identical param tree by construction
+    scale = float(jnp.max(jnp.abs(y_off)))
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               atol=2e-5 * scale)
+
+    def loss(pp, mod):
+        return jnp.sum(mod.apply(pp, x) ** 2)
+    g_on = jax.grad(lambda pp: loss(pp, m_on))(p)
+    g_off = jax.grad(lambda pp: loss(pp, m_off))(p)
+    fl_on = jnp.concatenate([a.ravel()
+                             for a in jax.tree_util.tree_leaves(g_on)])
+    fl_off = jnp.concatenate([a.ravel()
+                              for a in jax.tree_util.tree_leaves(g_off)])
+    gs = float(jnp.max(jnp.abs(fl_off)))
+    np.testing.assert_allclose(np.asarray(fl_on), np.asarray(fl_off),
+                               atol=2e-5 * gs)

@@ -61,6 +61,64 @@ def test_augment_2d_shapes_and_determinism():
     assert set(np.unique(np.asarray(m1))) <= {0.0, 1.0}
 
 
+def test_augment_affine():
+    """--do_affine (reference train_util.py:42-49): shape-preserving, masks
+    stay n-hot with zero fill outside, images sample via reflect (no black
+    corners), and a pure rotation matches jnp.rot90 up to interpolation."""
+    from segtran_tpu.data.augment import _rand_affine
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(48, 48, 3).astype(np.float32)) * 0.5 + 0.25
+    msk = jnp.asarray((rng.rand(48, 48, 2) > 0.5).astype(np.float32))
+    i2, m2 = _rand_affine(jax.random.PRNGKey(5), img, msk, 45.0, 16.0)
+    assert i2.shape == img.shape and m2.shape == msk.shape
+    assert set(np.unique(np.asarray(m2))) <= {0.0, 1.0}
+    # reflect fill: every sampled pixel stays within the input value range
+    assert float(jnp.min(i2)) >= float(jnp.min(img)) - 1e-5
+    assert float(jnp.max(i2)) <= float(jnp.max(img)) + 1e-5
+    # deterministic under a fixed key
+    i3, _ = _rand_affine(jax.random.PRNGKey(5), img, msk, 45.0, 16.0)
+    np.testing.assert_allclose(np.asarray(i2), np.asarray(i3))
+    # the batched entry accepts do_affine
+    cfg = Aug2dConfig(do_affine=True, mean=(0.5,) * 3, std=(0.5,) * 3)
+    a, m = jax.jit(lambda k, i, m: augment_batch_2d(k, i, m, cfg))(
+        jax.random.PRNGKey(0), img[None], msk[None])
+    assert a.shape == img[None].shape
+
+
+def test_augment_rot90_nonsquare():
+    """Non-square rot90 (reference train_util.py:41-56): odd k rotates the
+    [H,W] image to [W,H] then pads/crops back to [H,W]; every output row of
+    the valid region must be a contiguous slice of a rotated input column."""
+    from segtran_tpu.data.augment import _rot90_nonsquare
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.rand(24, 40, 3).astype(np.float32))
+    msk = jnp.asarray((rng.rand(24, 40, 1) > 0.5).astype(np.float32))
+    for k in range(4):
+        i2, m2 = _rot90_nonsquare(jax.random.PRNGKey(9), jnp.int32(k),
+                                  img, msk)
+        assert i2.shape == img.shape and m2.shape == msk.shape
+    # k=2 is the plain rot180
+    i180, _ = _rot90_nonsquare(jax.random.PRNGKey(9), jnp.int32(2), img, msk)
+    np.testing.assert_allclose(np.asarray(i180),
+                               np.asarray(jnp.rot90(img, 2, (0, 1))))
+    # k=1: the [40,24] rotation is cropped vertically (40->24) and padded
+    # horizontally (24->40); nonzero columns must reproduce rot90 content
+    i90, _ = _rot90_nonsquare(jax.random.PRNGKey(9), jnp.int32(1), img, msk)
+    full = np.asarray(jnp.rot90(img, 1, (0, 1)))       # [40, 24, 3]
+    arr = np.asarray(i90)
+    cols = np.where(arr.any(axis=(0, 2)))[0]
+    assert len(cols) == 24 and np.all(np.diff(cols) == 1)
+    sub = arr[:, cols]                                  # [24, 24, 3]
+    # search the vertical crop offset
+    match = any(np.allclose(sub, full[oy:oy + 24]) for oy in range(17))
+    assert match
+    # the whole augment pipeline now runs for non-square inputs
+    cfg = Aug2dConfig(rot90_prob=1.0, mean=(0.5,) * 3, std=(0.5,) * 3)
+    a, m = jax.jit(lambda k, i, m: augment_batch_2d(k, i, m, cfg))(
+        jax.random.PRNGKey(1), img[None], msk[None])
+    assert a.shape == img[None].shape and m.shape == msk[None].shape
+
+
 def test_augment_3d_ops():
     rng = np.random.RandomState(1)
     img = jnp.asarray(rng.rand(16, 16, 8, 4).astype(np.float32))
