@@ -35,6 +35,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.norm import layer_norm
+
 _normal = nn.initializers.normal
 
 
@@ -258,8 +260,8 @@ class MMSharedOutput(nn.Module):
                      bias_init=nn.initializers.zeros, dtype=self.dtype)(x)
         y = y + shortcut
         y = nn.Dropout(self.hidden_dropout_prob)(y, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
-                            name="resout_norm_layer")(y)
+        return layer_norm(self.dtype, epsilon=self.ln_eps,
+                          name="resout_norm_layer")(y)
 
 
 class MMPrivateOutput(nn.Module):
@@ -285,8 +287,8 @@ class MMPrivateOutput(nn.Module):
         if self.fix_residual:
             y = y + shortcut
         y = nn.Dropout(self.hidden_dropout_prob)(y, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
-                            name="resout_norm_layer")(y)
+        return layer_norm(self.dtype, epsilon=self.ln_eps,
+                          name="resout_norm_layer")(y)
 
 
 class ExpandedFeatTrans(nn.Module):
@@ -302,8 +304,8 @@ class ExpandedFeatTrans(nn.Module):
             kernel_init=_normal(s.base_initializer_range),
             bias_init=nn.initializers.zeros, dtype=s.dtype, name="first_linear")
         # Used only on the no-FFN path (segtran_shared.py:452-457).
-        self.first_norm_layer = nn.LayerNorm(epsilon=s.ln_eps, dtype=s.dtype,
-                                             name="first_norm_layer")
+        self.first_norm_layer = layer_norm(s.dtype, epsilon=s.ln_eps,
+                                           name="first_norm_layer")
         if s.pool_modes_feat == "softmax":
             self.feat_softaggr = LearnedSoftAggregate(
                 s.feat_dim, group_dim=1, keepdim=False, dtype=s.dtype,
@@ -510,8 +512,12 @@ class CrossAttFeatTrans(nn.Module):
             return out_trans(in_key, fused=fused,
                              deterministic=deterministic)
 
+        # fp32 MXU accumulation always; in half precision the stored score
+        # tensor follows the compute dtype (softmax still reduces in fp32
+        # below) -- halves the [B,M,U1,U2] HBM footprint in bf16 mode.
+        score_dt = jnp.float32 if s.dtype == jnp.float32 else s.dtype
         scores = jnp.einsum("bmqd,bmkd->bmqk", q, k,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=score_dt)
         scores = scores / math.sqrt(amd)
         if s.keep_attn_diag:
             # max / positive-mean / clamped-this-call, the stats behind the

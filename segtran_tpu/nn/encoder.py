@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..configs.base import TransformerConfig
+from ..ops.norm import layer_norm
 from .attention import (CrossAttFeatTrans, SqueezedAttFeatTrans, TransLayerSpec)
 from .poscode import SegtranPosEncoder
 
@@ -98,8 +99,8 @@ class SegtranFusionEncoder(nn.Module):
         for i in range(cfg.num_translayers):
             dim_i = cfg.translayer_dims[i]
             spec = layer_spec_from_config(cfg, i)
-            vfeat_normed = nn.LayerNorm(
-                epsilon=cfg.ln_eps, dtype=cfg.dtype,
+            vfeat_normed = layer_norm(
+                cfg.dtype, epsilon=cfg.ln_eps,
                 name=f"vfeat_norm_layers_{i}")(vfeat)
             # The positional code is regenerated per layer in the reference;
             # under jit XLA CSEs the identical subgraphs, so this costs one
@@ -113,9 +114,9 @@ class SegtranFusionEncoder(nn.Module):
                 feat_normed = vfeat_normed
             else:
                 feat_comb = vfeat_normed + pos_code_weight * pos_code[:, :, :dim_i]
-                feat_normed = nn.LayerNorm(
-                    epsilon=cfg.ln_eps, use_bias=False, use_scale=False,
-                    dtype=cfg.dtype, name=f"comb_norm_layers_{i}")(feat_comb)
+                feat_normed = layer_norm(
+                    cfg.dtype, epsilon=cfg.ln_eps, use_bias=False,
+                    use_scale=False, name=f"comb_norm_layers_{i}")(feat_comb)
             if i == 0:
                 feat_normed = nn.Dropout(cfg.hidden_dropout_prob)(
                     feat_normed, deterministic=deterministic)

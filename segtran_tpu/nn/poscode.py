@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.norm import layer_norm
+
 _normal = nn.initializers.normal
 
 
@@ -48,9 +50,9 @@ class LearnedSinuPosEmbedder(nn.Module):
         cos_part = jnp.cos(self.omega * e[..., 1::2])
         # Interlace: out[2i] = sin(e[2i]), out[2i+1] = cos(e[2i+1]).
         mixed = jnp.stack([sin_part, cos_part], axis=-1).reshape(e.shape)
-        return nn.LayerNorm(epsilon=self.ln_eps, use_bias=self.affine,
-                            use_scale=self.affine, dtype=self.dtype,
-                            name="pos_mix_norm_layer")(mixed)
+        return layer_norm(self.dtype, epsilon=self.ln_eps,
+                          use_bias=self.affine, use_scale=self.affine,
+                          name="pos_mix_norm_layer")(mixed)
 
 
 class RandPosEmbedder(nn.Module):
