@@ -8,6 +8,11 @@
    attention (no sliding-window loop at all; the reference runs a Python
    triple loop of per-patch forwards, test_util3d.py:133-167).
 
+3. fundus TRAIN steps/sec/chip -- the full jitted update on the same
+   recipe at the reference's training batch size 6 (reference train2d.sh:2):
+   forward + CE/dice loss + backward + BertAdam, so backward/optimizer-path
+   regressions are visible to the driver (VERDICT r2 weakness 2).
+
 Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
 The fundus line is printed LAST (it was the round-1 headline metric).
 
@@ -29,6 +34,10 @@ import jax.numpy as jnp
 
 REFERENCE_GPU_IMGS_PER_SEC = 30.0
 REFERENCE_GPU_VOXELS_PER_SEC = 3.0e6
+# Train-step estimate for the same eff-b4 288^2 recipe at bs 6: ~3x the
+# forward cost per image on a V100-class GPU => ~30/(3*6) ~ 1.7 steps/s.
+REFERENCE_GPU_TRAIN_STEPS_PER_SEC = 1.7
+TRAIN_BATCH = 6
 BATCH = 32
 WARMUP = 3
 ITERS = 20
@@ -116,10 +125,66 @@ def bench_fundus():
     }), flush=True)
 
 
+def bench_fundus_train():
+    from segtran_tpu.configs import Segtran2dConfig
+    from segtran_tpu.models import Segtran2d
+    from segtran_tpu.nn.init import init_with_reference_schemes
+    from segtran_tpu.train.trainer import (build_optimizer, make_loss_fn,
+                                           make_train_step,
+                                           create_train_state)
+
+    cfg = Segtran2dConfig(
+        backbone_type="eff-b4", num_classes=3, dtype=jnp.bfloat16,
+    ).derive(translayer_compress_ratios=(1.0, 1.0, 2.0, 2.0))
+    model = Segtran2d(cfg)
+    x = jnp.zeros((TRAIN_BATCH, 288, 288, 3), jnp.float32)
+    # one-hot fundus mask (disc/cup), as fundus_map_mask emits
+    mask = jnp.zeros((TRAIN_BATCH, 288, 288, 3), jnp.float32)
+    print(f"[bench] fundus train init... ({time.strftime('%H:%M:%S')})",
+          file=sys.stderr, flush=True)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, x[:1])
+    tx = build_optimizer()   # BertAdam, reference REFUGE recipe defaults
+    # fundus task recipe: bce_weight (0,1,2), dice_w 0.5 (configs/presets.py)
+    loss_fn = make_loss_fn(cfg.num_classes, (0.0, 1.0, 2.0))
+    state = create_train_state(params, rest.get("batch_stats", {}), tx,
+                               jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(model, tx, loss_fn), donate_argnums=0)
+    batch = {"image": x, "mask": mask}
+
+    def run(state):
+        state, metrics = step(state, batch)
+        return state
+
+    # donated state: time by chaining steps, not replaying one
+    t_c = time.perf_counter()
+    state = run(state)
+    jax.block_until_ready(state.step)
+    print(f"[bench] compiled in {time.perf_counter()-t_c:.1f}s",
+          file=sys.stderr, flush=True)
+    for _ in range(WARMUP):
+        state = run(state)
+    jax.block_until_ready(state.step)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state = run(state)
+    jax.block_until_ready(state.step)
+    dt = (time.perf_counter() - t0) / ITERS
+    steps_per_sec = 1.0 / dt
+    print(json.dumps({
+        "metric": "fundus_segtran2d_effb4_288_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec/chip (bs 6)",
+        "vs_baseline": round(steps_per_sec / REFERENCE_GPU_TRAIN_STEPS_PER_SEC,
+                             3),
+    }), flush=True)
+
+
 def main():
     from segtran_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     bench_brats_wholevol()
+    bench_fundus_train()
     bench_fundus()
 
 
