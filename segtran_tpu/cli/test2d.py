@@ -25,7 +25,7 @@ from ..data.labelmaps import (fundus_map_mask, fundus_inv_map_mask,
 from ..data.pipeline import batch_iterator
 from ..infer.metrics import batch_dice_per_class
 from ..infer.sliding import sliding_window_2d
-from ..ops.losses import calc_vcdr_batch
+from ..ops.losses import calc_vcdr_eval
 from ..train.checkpoint import load_checkpoint, merge_params
 from ..nn.init import init_with_reference_schemes
 from ..utils import setup_logging
@@ -277,8 +277,10 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
                     logger.info("%s: dice %s", name,
                                 np.round(all_dice[-1][i], 4))
         if args.do_vcdr and num_classes >= 3:
-            verr = jnp.abs(calc_vcdr_batch(gt) -
-                           calc_vcdr_batch(hard.astype(jnp.float32)))
+            # per-image (unbatched-branch) vCDR, as the reference eval
+            # computes it (calc_batch_metric -> utils/losses.py:99-127)
+            verr = jnp.abs(calc_vcdr_eval(gt) -
+                           calc_vcdr_eval(hard.astype(jnp.float32)))
             all_vcdr_err.append(np.asarray(verr))
         if args.outdir:
             os.makedirs(args.outdir, exist_ok=True)
@@ -334,8 +336,11 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
         logger.info("class %d dice: %.4f", c + 1, d)
     logger.info("avg dice: %.4f", cls_dice.mean())
     if all_vcdr_err:
-        logger.info("vCDR error: %.4f",
-                    float(np.concatenate(all_vcdr_err).mean()))
+        vcdr_err = float(np.concatenate(all_vcdr_err).mean())
+        logger.info("vCDR error: %.4f", vcdr_err)
+        # match the reference metric layout: [dice_cls1..dice_clsN, vcdr_err]
+        # (reference test_util2d.py:28, allcls_metric_sum has the extra slot)
+        cls_dice = np.concatenate([cls_dice, [vcdr_err]])
     if args.outdir and saved:
         zpath = os.path.join(args.outdir, "pred.zip")
         with zipfile.ZipFile(zpath, "w") as z:

@@ -111,3 +111,32 @@ def calc_vcdr_batch(mask_nhot_soft: jnp.ndarray, thres: float = 0.5) -> jnp.ndar
     disc_len = extent(mask[..., 1])
     cup_len = extent(mask[..., 2])
     return cup_len / (disc_len + 1e-4)
+
+
+def calc_vcdr_eval(mask_nhot_soft: jnp.ndarray, thres: float = 0.5,
+                   delta: int = 1) -> jnp.ndarray:
+    """Per-image vCDR with the reference's NO-BATCH semantics, vectorized.
+
+    The reference eval path (calc_batch_metric, test_util2d.py:258-261)
+    passes each instance as a 3-D tensor, hitting utils/losses.py:99-127:
+    extents are max-min-DELTA over the truly-occupied rows (no 0-index
+    quirk), no disc found -> -1, no cup found -> 0. The batched branch
+    (calc_vcdr_batch above, used by the vCDR training losses) measures
+    differently; eval must use this variant to match reference Dice reports.
+    mask_nhot_soft: [B, H, W, C]; returns [B]."""
+    mask = mask_nhot_soft >= thres
+    H = mask.shape[1]
+    vert_idx = jnp.arange(1, H + 1, dtype=jnp.float32)[None, :]  # [1, H]
+
+    def extent(channel):  # [B, H, W] bool -> (len [B], found [B])
+        occupied = jnp.any(channel, axis=2)                      # [B, H]
+        found = jnp.any(occupied, axis=1)
+        mx = jnp.max(jnp.where(occupied, vert_idx, -jnp.inf), axis=1)
+        mn = jnp.min(jnp.where(occupied, vert_idx, jnp.inf), axis=1)
+        return mx - mn - delta, found
+
+    disc_len, has_disc = extent(mask[..., 1])
+    cup_len, has_cup = extent(mask[..., 2])
+    vcdr = cup_len / (disc_len + 1e-4)
+    vcdr = jnp.where(has_cup, vcdr, 0.0)
+    return jnp.where(has_disc, vcdr, -1.0)
