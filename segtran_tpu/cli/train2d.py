@@ -672,6 +672,15 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    # cross-host init first (no-op on one host): reads JAX_COORDINATOR_ADDRESS
+    # / JAX_NUM_PROCESSES / JAX_PROCESS_ID (README 'Multi-host training';
+    # replaces reference dist.init_process_group, train2d.py:796-801)
+    from ..parallel.multihost import init_multihost
+    topo = init_multihost()
+    if topo["process_count"] > 1:
+        print(f"multi-host: rank {topo['process_index']}/"
+              f"{topo['process_count']}, {topo['local_devices']} local / "
+              f"{topo['global_devices']} global devices")
     if args.tensor_parallel > 1:
         # fail before the multi-minute model init
         _n = args.ndevices if args.ndevices > 0 else len(jax.devices())
