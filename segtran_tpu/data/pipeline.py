@@ -47,6 +47,11 @@ def batch_iterator(dataset, batch_size: int, epoch: int, seed: int = 0,
     n = len(idx)
     if drop_last:
         n = (n // batch_size) * batch_size
+        if n == 0:
+            # otherwise the caller's epoch loop spins forever on 0 batches
+            raise ValueError(
+                f"dataset has {len(idx)} samples, fewer than the batch size "
+                f"{batch_size} (drop_last): lower --bs or add data")
     with ThreadPoolExecutor(max_workers=num_threads) as pool:
         for s in range(0, n, batch_size):
             chunk = idx[s:s + batch_size]
