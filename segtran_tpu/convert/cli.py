@@ -97,6 +97,20 @@ def convert_pth(pth_path: str, out_dir: str, model_kind: str = "segtran2d",
     sd_np = {k.replace("out_bridgeconv", "out_fpn_bridgeconv"): v
              for k, v in sd_np.items()}
 
+    # effv2 backbones come from timm whose key layout differs from our flax
+    # scopes (reference segtran2d.py:106-117); pre-rename those keys
+    if str(pth_args.get("backbone_type", "")).startswith("effv2"):
+        from .torch_import import rename_timm_effv2_key
+        renamed = {}
+        for k, v in sd_np.items():
+            if k.startswith("backbone."):
+                nk = rename_timm_effv2_key(k[len("backbone."):])
+                if nk is None:
+                    continue
+                k = "backbone." + nk
+            renamed[k] = v
+        sd_np = renamed
+
     tie_shared = pth_args.get("tie_qk_scheme", "shared") == "shared"
     # The no-out-FPN 2x upsampling head (reference segtran2d.py:205-208) is a
     # ConvTranspose with a >1 spatial kernel; every other out_conv is 1x1.
@@ -140,15 +154,53 @@ def convert_pth(pth_path: str, out_dir: str, model_kind: str = "segtran2d",
     return path, cfg
 
 
+def convert_timm_backbone(pth_path: str, out_dir: str, variant: str):
+    """Import a raw timm EfficientNetV2 checkpoint (the reference's
+    pretrained-backbone source, segtran2d.py:106-117) as an orbax payload
+    holding only the ``backbone`` subtree; feed it to train2d --cp to start
+    --bb effv2{s,m,l} training from ImageNet(-21k) weights."""
+    import torch
+    from .torch_import import convert_timm_effv2, assign_converted
+    from ..nn.backbones.efficientnetv2 import EfficientNetV2Features
+    from ..nn.init import init_with_reference_schemes
+    from ..train.checkpoint import save_checkpoint
+
+    ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt.get("model", ckpt))
+    sd_np = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    conv_params, conv_stats = convert_timm_effv2(sd_np)
+
+    bb = EfficientNetV2Features(variant=variant, stem_stride=1)
+    params, rest = init_with_reference_schemes(
+        bb, {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = assign_converted(params, conv_params, strict=True)
+    batch_stats = assign_converted(rest.get("batch_stats", {}), conv_stats,
+                                   strict=True)
+    path = save_checkpoint(out_dir, 0, {"backbone": params},
+                           {"backbone": batch_stats})
+    n = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(params))
+    print(f"converted timm {variant} {pth_path} -> {path} "
+          f"({n/1e6:.1f}M params)")
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pth", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--model", default="segtran2d",
                    choices=["segtran2d", "segtran3d", "segtran25d", "unet2d"])
+    p.add_argument("--timm-bb", dest="timm_bb", default=None,
+                   choices=["effv2s", "effv2m", "effv2l"],
+                   help="treat --pth as a raw timm EfficientNetV2 checkpoint "
+                        "and emit a backbone-only payload for train2d --cp")
     p.add_argument("--strict", action="store_true")
     args = p.parse_args(argv)
-    convert_pth(args.pth, args.out, args.model, args.strict)
+    if args.timm_bb:
+        convert_timm_backbone(args.pth, args.out, args.timm_bb)
+    else:
+        convert_pth(args.pth, args.out, args.model, args.strict)
 
 
 if __name__ == "__main__":

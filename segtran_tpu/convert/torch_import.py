@@ -160,6 +160,50 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     return params, batch_stats
 
 
+_TIMM_EFFV2_BLOCK = re.compile(r"^blocks\.(\d+)\.(\d+)\.(.+)$")
+
+
+def rename_timm_effv2_key(key: str) -> str | None:
+    """timm tf_efficientnetv2_* state_dict key -> this framework's
+    EfficientNetV2Features scope path (backbones/efficientnetv2.py), or None
+    for head keys a features_only backbone drops.
+
+    timm layout (the reference loads these via timm's
+    tf_efficientnetv2_{s,m,l}_in21k factories, segtran2d.py:106-117):
+      conv_stem.weight / bn1.*              -> conv_stem / bn_stem
+      blocks.{s}.{j}.conv|conv_exp|conv_pw|conv_dw|conv_pwl|bn1..bn3
+                                            -> s{s}_b{j}.<same>
+      blocks.{s}.{j}.se.conv_reduce|expand  -> s{s}_b{j}.se_reduce|se_expand
+      conv_head.* / bn2.* / classifier.*    -> dropped (no head in
+                                               features_only mode)
+    """
+    if key.startswith(("conv_head.", "classifier.", "bn2.")):
+        return None
+    if key.startswith("bn1."):
+        return "bn_stem." + key[len("bn1."):]
+    m = _TIMM_EFFV2_BLOCK.match(key)
+    if m:
+        rest = m.group(3)
+        rest = rest.replace("se.conv_reduce", "se_reduce")
+        rest = rest.replace("se.conv_expand", "se_expand")
+        return f"s{m.group(1)}_b{m.group(2)}.{rest}"
+    return key
+
+
+def convert_timm_effv2(sd: Dict[str, np.ndarray]
+                       ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a raw timm EfficientNetV2 state_dict to flax (params,
+    batch_stats) trees rooted at the backbone scope, ready to graft under
+    ``params['backbone']`` (e.g. via train2d --cp on an orbax payload that
+    carries only the backbone subtree)."""
+    renamed = {}
+    for k, v in sd.items():
+        nk = rename_timm_effv2_key(k)
+        if nk is not None:
+            renamed[nk] = v
+    return convert_state_dict(renamed, tie_qk_shared=False)
+
+
 def assign_converted(target_params: Dict[str, Any],
                      converted: Dict[str, Any],
                      strict: bool = True,
