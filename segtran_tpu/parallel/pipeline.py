@@ -8,11 +8,14 @@ whole schedule is a ``lax.scan`` over M + S - 1 ticks, so it is jittable and
 reverse-differentiable (backprop replays the scan and ppermutes grads
 backwards automatically).
 
-``gpipe`` is the generic primitive: homogeneous stages whose params are
-stacked on a leading axis (one slice per device). ``stack_translayer_params``
-builds such a stack from a Segtran params tree (uniform translayer dims,
-i.e. translayer_compress_ratios all 1 -- the default REFUGE/BraTS recipes),
-letting the fusion encoder's layers pipeline across chips.
+``gpipe`` is the generic primitive: stages whose params are stacked on a
+leading axis (one slice per device). ``stack_translayer_params`` builds such
+a stack from a Segtran params tree with uniform translayer dims
+(translayer_compress_ratios all 1); ``stack_translayer_params_padded`` +
+``make_hetero_translayer_stage`` serve HETEROGENEOUS dims (e.g. the REFUGE
+``--layercompress 1,1,2,2`` recipe) by zero-padding params and hand-off to
+the max dim and lax.switch-ing each device into a branch with its stage's
+static shapes -- numerics stay exactly the sequential encoder's.
 """
 from __future__ import annotations
 
@@ -131,6 +134,115 @@ def make_translayer_stage(cfg) -> Callable:
         feat = feat * vmask
         out = layer.apply({"params": p["translayers"]}, feat,
                           deterministic=True)
+        return out, pos_code, vmask
+
+    return stage
+
+
+def _pad_leaf(l: jnp.ndarray, shape) -> jnp.ndarray:
+    return jnp.pad(l, [(0, t - s) for s, t in zip(l.shape, shape)])
+
+
+def _slice_leaf(l: jnp.ndarray, shape) -> jnp.ndarray:
+    return l[tuple(slice(0, int(d)) for d in shape)]
+
+
+def stack_translayer_params_padded(encoder_params: dict, num_layers: int):
+    """Heterogeneous-dims variant of stack_translayer_params (e.g. the REFUGE
+    ``--layercompress 1,1,2,2`` recipe, whose translayer dims shrink layer to
+    layer): per-stage leaves are zero-padded to the elementwise-max shape
+    before stacking, and the per-stage TRUE shapes are returned so the stage
+    fn can statically slice its own parameters back out.
+
+    Returns (stacked_padded_params, per_stage_shape_trees)."""
+    tmap = jax.tree_util.tree_map
+
+    import numpy as np
+
+    def gather(prefix):
+        trees = [encoder_params[f"{prefix}_{i}"] for i in range(num_layers)]
+        # shapes ride the trees as np.ndarray leaves (tuples would be
+        # flattened as pytrees by tree_map)
+        maxshape = tmap(
+            lambda *ls: np.array([max(s) for s in zip(*[l.shape
+                                                        for l in ls])]),
+            *trees)
+        stacked = tmap(lambda ms, *ls: jnp.stack(
+            [_pad_leaf(l, ms) for l in ls]), maxshape, *trees)
+        shapes = [tmap(lambda l: np.array(l.shape), t) for t in trees]
+        return stacked, shapes
+
+    tl, tl_shapes = gather("translayers")
+    vn, vn_shapes = gather("vfeat_norm_layers")
+    stacked = {"translayers": tl, "vfeat_norm_layers": vn}
+    shapes = [{"translayers": t, "vfeat_norm_layers": v}
+              for t, v in zip(tl_shapes, vn_shapes)]
+    return stacked, shapes
+
+
+def make_hetero_translayer_stage(cfg, stage_shapes, axis: str = "model"
+                                 ) -> Callable:
+    """stage_fn for gpipe over HETEROGENEOUS translayer dims.
+
+    The hand-off rides zero-padded to trans_in_dim (translayer dims are
+    non-increasing under compression, configs/base.py derive()); each device
+    selects its stage via lax.switch on its mesh index, and the selected
+    branch statically slices both its params (from the padded stack built by
+    stack_translayer_params_padded) and its activation slice, so the
+    LayerNorm/attention numerics are exactly the sequential encoder's
+    (nn/encoder.py:99-156). pos_code passes through at full trans_in_dim and
+    is prefix-sliced per stage exactly as the encoder does
+    (segtran_shared.py:929-932)."""
+    import flax.linen as fnn
+    from ..nn.attention import CrossAttFeatTrans, SqueezedAttFeatTrans
+    from ..nn.encoder import layer_spec_from_config
+
+    if cfg.pos_code_type == "bias":
+        raise ValueError("pipeline stages do not serve 'bias' pos codes")
+    dims = cfg.translayer_dims
+    d_max = max(dims)
+    if dims[0] != d_max:
+        raise ValueError(
+            f"expected non-increasing translayer dims, got {dims}")
+    pos_w = cfg.pos_code_weight
+    ln_plain = fnn.LayerNorm(epsilon=cfg.ln_eps, use_bias=False,
+                             use_scale=False, dtype=cfg.dtype)
+
+    def make_branch(i):
+        spec = layer_spec_from_config(cfg, i)
+        if cfg.use_squeezed_transformer:
+            layer = SqueezedAttFeatTrans(
+                spec, num_attractors=cfg.num_attractors,
+                has_FFN_in_squeeze=cfg.has_FFN_in_squeeze)
+        else:
+            layer = CrossAttFeatTrans(spec)
+        ln_affine = fnn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype)
+        d_in = dims[i]
+
+        def branch(operand):
+            p, vfeat_pad, pos_code, vmask = operand
+            p_i = jax.tree_util.tree_map(_slice_leaf, p, stage_shapes[i])
+            x = vfeat_pad[..., :d_in]
+            vn = ln_affine.apply({"params": p_i["vfeat_norm_layers"]}, x)
+            if cfg.pos_code_type == "none":
+                feat = vn
+            else:
+                feat = ln_plain.apply(
+                    {"params": {}}, vn + pos_w * pos_code[..., :d_in])
+            feat = feat * vmask
+            out = layer.apply({"params": p_i["translayers"]}, feat,
+                              deterministic=True)
+            return jnp.pad(out, ((0, 0), (0, 0),
+                                 (0, d_max - out.shape[-1])))
+
+        return branch
+
+    branches = [make_branch(i) for i in range(cfg.num_translayers)]
+
+    def stage(p, xt):
+        vfeat_pad, pos_code, vmask = xt
+        idx = jax.lax.axis_index(axis)
+        out = jax.lax.switch(idx, branches, (p, vfeat_pad, pos_code, vmask))
         return out, pos_code, vmask
 
     return stage

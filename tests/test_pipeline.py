@@ -131,3 +131,56 @@ def test_translayer_pipeline_matches_encoder(squeezed):
         stacked, (vfeat, pos_code, vmask))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("squeezed", [True, False])
+def test_hetero_translayer_pipeline_layercompress(squeezed):
+    """The flagship REFUGE recipe (--layercompress 1,1,2,2: translayer dims
+    shrink layer to layer) pipelines over 3 devices via the padded-hand-off +
+    lax.switch stages and matches the sequential encoder exactly."""
+    from segtran_tpu.configs import Segtran2dConfig
+    from segtran_tpu.nn.encoder import SegtranFusionEncoder
+    from segtran_tpu.nn.poscode import SegtranPosEncoder, gen_all_indices
+    from segtran_tpu.parallel.pipeline import (
+        make_hetero_translayer_stage, stack_translayer_params_padded)
+
+    S = 3
+    mesh = _mesh(S)
+    cfg = Segtran2dConfig(
+        backbone_type="eff-b0", num_classes=3, num_attractors=8,
+        use_squeezed_transformer=squeezed,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    ).derive(translayer_compress_ratios=(1.0, 1.0, 2.0, 2.0))
+    assert cfg.num_translayers == S
+    dims = cfg.translayer_dims
+    assert len(set(dims)) > 1, "recipe must actually be heterogeneous"
+    h2 = w2 = 4
+    b, n, c = 4, h2 * w2, cfg.trans_in_dim
+    rng = np.random.RandomState(7)
+    vfeat = jnp.asarray(rng.randn(b, n, c) * 0.5, jnp.float32)
+    vmask = jnp.ones((b, n, 1), jnp.float32)
+    pos = gen_all_indices((h2, w2)).reshape(1, n, 2).astype(jnp.float32)
+    voxels_pos = jnp.tile(pos, (b, 1, 1))
+
+    enc = SegtranFusionEncoder(cfg)
+    variables = enc.init(jax.random.PRNGKey(0), vfeat, voxels_pos, vmask,
+                         (h2, w2), deterministic=True)
+    y_ref = enc.apply(variables, vfeat, voxels_pos, vmask, (h2, w2),
+                      deterministic=True)
+
+    pos_encoder = SegtranPosEncoder(
+        pos_code_type=cfg.pos_code_type, pos_dim=cfg.pos_dim,
+        pos_embed_dim=cfg.trans_in_dim, pos_bias_radius=cfg.pos_bias_radius,
+        ln_eps=cfg.ln_eps, dtype=cfg.dtype)
+    pos_code = pos_encoder.apply(
+        {"params": variables["params"]["pos_code_layer"]}, (h2, w2),
+        voxels_pos)
+    stacked, shapes = stack_translayer_params_padded(
+        variables["params"], cfg.num_translayers)
+    stage = make_hetero_translayer_stage(cfg, shapes)
+    y_pad, _, _ = jax.jit(
+        lambda p, xt: gpipe(stage, p, xt, mesh, "model", 2))(
+        stacked, (vfeat, pos_code, vmask))
+    y = y_pad[..., :dims[-1]]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
