@@ -158,10 +158,46 @@ def _drop_connect(x, rate, deterministic, rng):
     return x / jnp.asarray(keep, x.dtype) * mask
 
 
+class _ConvKernel(nn.Module):
+    """Parameter-fetch twin of nn.Conv: creates/reads the identical
+    ``kernel`` leaf (same name, shape, init) without running the conv --
+    the fused-eval path feeds the raw weights to the Pallas kernel."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _BNFold(nn.Module):
+    """Parameter-fetch twin of nn.BatchNorm (same scale/bias params and
+    batch_stats mean/var), returned as the folded eval-mode affine."""
+    feats: int
+    eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.feats,))
+        bias = self.param("bias", nn.initializers.zeros, (self.feats,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.feats,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.feats,), jnp.float32))
+        from ...kernels.mbconv import fold_bn
+        return fold_bn(scale.astype(jnp.float32),
+                       bias.astype(jnp.float32),
+                       mean.value.astype(jnp.float32),
+                       var.value.astype(jnp.float32), self.eps)
+
+
 class MBConvBlock(nn.Module):
     spec: _BlockSpec
     drop_rate: float
     bn_axis_name: Optional[str] = None
+    # eval-only Pallas fusion of expand+BN+swish+depthwise+BN+swish
+    # (kernels/mbconv.py); training keeps the XLA path (+its backward)
+    fused_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -176,6 +212,15 @@ class MBConvBlock(nn.Module):
             feats, (k, k), strides=(stride, stride), padding=pad,
             feature_group_count=groups, use_bias=False, dtype=self.dtype,
             name=name)
+        if (self.fused_eval and not train and s.stride == 1
+                and s.expand_ratio != 1 and 36 <= x.shape[1] <= 144):
+            # The Pallas fusion pays off where the 6x-expanded tensor is
+            # large relative to compute: measured per-block on the v5e,
+            # expand blocks at 144^2..36^2 win (1.5-1.9x), while e1 blocks
+            # (no expanded tensor to save) and 18^2 blocks (grid-step
+            # overhead) favor XLA, as do stride-2 blocks (Mosaic has no
+            # strided vector slice).
+            return self._fused_eval_call(x, conv)
         if s.expand_ratio != 1:
             x = conv(expanded, 1, 1, "_expand_conv")(x)
             x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn0")(x)
@@ -206,6 +251,47 @@ class MBConvBlock(nn.Module):
             x = x + inputs
         return x
 
+    def _fused_eval_call(self, x, conv):
+        """Eval-mode forward through the Pallas-fused front half
+        (kernels/mbconv.py): the expanded tensor stays in VMEM and the SE
+        pool comes out of the kernel's partial sums; SE-scale + project +
+        BN + residual stay in XLA, which serves them from one read of the
+        depthwise output. Params are the exact same leaves as the unfused
+        path (_ConvKernel/_BNFold are name/shape/init twins)."""
+        from ...kernels.mbconv import mbconv_front
+        s = self.spec
+        inputs = x
+        expanded = s.in_filters * s.expand_ratio
+        w_exp = s0 = b0 = None
+        if s.expand_ratio != 1:
+            wk = _ConvKernel((1, 1, s.in_filters, expanded),
+                             name="_expand_conv")()
+            w_exp = wk.reshape(s.in_filters, expanded).astype(self.dtype)
+            s0, b0 = _BNFold(expanded, name="_bn0")()
+        w_dw = _ConvKernel((s.kernel, s.kernel, 1, expanded),
+                           name="_depthwise_conv")()
+        w_dw = w_dw.reshape(s.kernel, s.kernel, expanded).astype(self.dtype)
+        s1, b1 = _BNFold(expanded, name="_bn1")()
+        pad = (s.pad if s.pad is not None else
+               _static_same_pad(x.shape[1:3], s.kernel, s.stride))
+        dw, se_mean = mbconv_front(
+            x.astype(self.dtype), w_exp, s0, b0, w_dw, s1, b1,
+            kernel=s.kernel, stride=s.stride, pad=pad)
+        if s.se_ratio and 0 < s.se_ratio <= 1:
+            nsq = max(1, int(s.in_filters * s.se_ratio))
+            se = se_mean[:, None, None, :].astype(self.dtype)
+            se = nn.Conv(nsq, (1, 1), use_bias=True, dtype=self.dtype,
+                         name="_se_reduce")(se)
+            se = nn.silu(se)
+            se = nn.Conv(expanded, (1, 1), use_bias=True, dtype=self.dtype,
+                         name="_se_expand")(se)
+            dw = jax.nn.sigmoid(se) * dw
+        y = conv(s.out_filters, 1, 1, "_project_conv")(dw)
+        y = _BN(True, self.bn_axis_name, self.dtype, name="_bn2")(y)
+        if s.stride == 1 and s.in_filters == s.out_filters:
+            y = y + inputs
+        return y
+
 
 class _MBConvScanBody(nn.Module):
     """nn.scan body: one within-segment repeat. All repeats after a
@@ -216,11 +302,13 @@ class _MBConvScanBody(nn.Module):
     spec: _BlockSpec
     train: bool
     bn_axis_name: Optional[str] = None
+    fused_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, rate):
-        y = MBConvBlock(self.spec, 0.0, self.bn_axis_name, self.dtype,
+        y = MBConvBlock(self.spec, 0.0, self.bn_axis_name, self.fused_eval,
+                        self.dtype,
                         name="block")(x, train=self.train, drop_rate=rate)
         return y, None
 
@@ -308,6 +396,9 @@ class EfficientNetFeatures(nn.Module):
     # move checkpoints between layouts.
     scan_blocks: bool = False
     bn_axis_name: Optional[str] = None
+    # eval-only Pallas MBConv fusion (kernels/mbconv.py); no effect on the
+    # param tree or the training path
+    fused_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -328,8 +419,8 @@ class EfficientNetFeatures(nn.Module):
             for seg, (i0, rr) in enumerate(segment_layout(self.variant)):
                 rate0 = self.drop_connect_rate * float(i0) / n
                 x = MBConvBlock(blocks[i0], rate0, self.bn_axis_name,
-                                self.dtype, name=f"_blocks_{i0}")(
-                                    x, train=train)
+                                self.fused_eval, self.dtype,
+                                name=f"_blocks_{i0}")(x, train=train)
                 if rr > 1:
                     rates = jnp.asarray(
                         [self.drop_connect_rate * float(i0 + j) / n
@@ -340,14 +431,15 @@ class EfficientNetFeatures(nn.Module):
                         split_rngs={"params": True, "dropout": True},
                         in_axes=0, length=rr - 1)
                     x, _ = scan(blocks[i0 + 1], train, self.bn_axis_name,
-                                self.dtype,
+                                self.fused_eval, self.dtype,
                                 name=f"_blocks_scan_{seg}")(x, rates)
                 if (i0 + rr) in ep_idx:
                     endpoints.append(x)
         else:
             for i, spec in enumerate(blocks):
                 rate = self.drop_connect_rate * float(i) / n
-                x = MBConvBlock(spec, rate, self.bn_axis_name, self.dtype,
+                x = MBConvBlock(spec, rate, self.bn_axis_name,
+                                self.fused_eval, self.dtype,
                                 name=f"_blocks_{i}")(x, train=train)
                 if (i + 1) in ep_idx:
                     # endpoint is the input of the next segment's first
