@@ -38,7 +38,9 @@ REFERENCE_GPU_VOXELS_PER_SEC = 3.0e6
 # forward cost per image on a V100-class GPU => ~30/(3*6) ~ 1.7 steps/s.
 REFERENCE_GPU_TRAIN_STEPS_PER_SEC = 1.7
 TRAIN_BATCH = 6
-BATCH = 32
+# bs sweep on the v5e (round 3): 16: 338, 32: 351, 48: 362, 64: 365,
+# 96: 360 imgs/s -- 64 is the throughput knee
+BATCH = 64
 WARMUP = 3
 ITERS = 20
 VOL_SHAPE = (160, 192, 144)   # padded BraTS'19 volume (240x240x155 cropped
