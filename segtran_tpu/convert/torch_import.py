@@ -204,6 +204,71 @@ def convert_timm_effv2(sd: Dict[str, np.ndarray]
     return convert_state_dict(renamed, tie_qk_shared=False)
 
 
+_TU_BODY = re.compile(r"hybrid_model\.body\.(block\d+)\.(unit\d+)\.")
+_TU_LAYER = re.compile(r"encoder\.layer\.(\d+)\.")
+_TU_ATTN = re.compile(r"encoder\.block_(\d+)\.attn\.(query|key|value|out)\."
+                      r"(weight|bias)$")
+
+
+def rename_transunet_key(key: str) -> str:
+    """Reference TransUNet state_dict key (vit_seg_modeling.py) -> this
+    framework's models/transunet.py scope path."""
+    key = key.replace("transformer.embeddings.", "")
+    key = key.replace("transformer.encoder.", "encoder.")
+    key = key.replace("hybrid_model.root.conv.", "hybrid_model.root_conv.")
+    key = key.replace("hybrid_model.root.gn.", "hybrid_model.root_gn.")
+    key = _TU_BODY.sub(r"hybrid_model.body_\1_\2.", key)
+    key = _TU_LAYER.sub(r"encoder.block_\1.", key)
+    if key.startswith("decoder."):
+        key = key[len("decoder."):]
+    return key
+
+
+def convert_transunet(sd: Dict[str, np.ndarray], num_heads: int = 12
+                      ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference TransUNet state_dict: rename to our scopes, then
+    reshape the attention projections for flax MultiHeadDotProductAttention
+    (q/k/v [out,in] -> kernel [in, H, hd], bias [out] -> [H, hd]; out proj
+    [out,in] -> kernel [H, hd, out]); everything else goes through the
+    generic mapper."""
+    renamed = {rename_transunet_key(k): v for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    rest = {}
+    for k, v in renamed.items():
+        m = _TU_ATTN.match(k)
+        if not m:
+            rest[k] = v
+            continue
+        i, which, leaf = m.groups()
+        path = ("encoder", f"block_{i}", "attn", which)
+        v = np.asarray(v)
+        if which == "out":
+            if leaf == "weight":    # [out, in] -> [H, hd, out]
+                d_in = v.shape[1]
+                w = v.T.reshape(num_heads, d_in // num_heads, v.shape[0])
+                _set_path(params, path + ("kernel",), w)
+            else:
+                _set_path(params, path + ("bias",), v)
+        else:
+            if leaf == "weight":    # [out, in] -> [in, H, hd]
+                d = v.shape[0]
+                _set_path(params, path + ("kernel",),
+                          v.T.reshape(v.shape[1], num_heads, d // num_heads))
+            else:
+                _set_path(params, path + ("bias",),
+                          v.reshape(num_heads, -1))
+    gparams, gstats = convert_state_dict(rest, tie_qk_shared=False)
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = v
+    merge(gparams, params)
+    return gparams, gstats
+
+
 def assign_converted(target_params: Dict[str, Any],
                      converted: Dict[str, Any],
                      strict: bool = True,
