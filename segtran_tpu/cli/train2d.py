@@ -352,6 +352,9 @@ def build_model_and_config(args, task):
     if args.net == "setr":
         from ..models.setr import SETR_PUP
         return SETR_PUP(num_classes=nc, dtype=dtype), None
+    if args.net == "deeplabv3":
+        from ..models.deeplab import DeepLabV3
+        return DeepLabV3(num_classes=nc, backbone=bb, dtype=dtype), None
     if args.net in ("deeplabv3plus", "deeplab-smp"):
         from ..models.deeplab import DeepLabV3Plus
         bb = args.backbone_type if args.backbone_type.startswith("resnet") \

@@ -90,6 +90,10 @@ def convert_pth(pth_path: str, out_dir: str, model_kind: str = "segtran2d",
     iter_num = ckpt.get("iter_num", 0)
     sd_np = {k: v.numpy() for k, v in sd.items()
              if hasattr(v, "numpy")}
+
+    if model_kind in ("transunet", "deeplabv3plus", "deeplabv3"):
+        return _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num,
+                                out_dir, strict)
     # discard DA heads the eval model doesn't own (reference test2d.py:671-674)
     sd_np = {k: v for k, v in sd_np.items()
              if not k.startswith(("discriminator.", "recon."))}
@@ -154,6 +158,43 @@ def convert_pth(pth_path: str, out_dir: str, model_kind: str = "segtran2d",
     return path, cfg
 
 
+def _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num, out_dir,
+                     strict):
+    """Zoo nets with dedicated key adapters (reference train2d.py saves
+    their plain state_dicts like any other net's)."""
+    from .torch_import import (convert_transunet, convert_deeplab,
+                               assign_converted)
+    from ..nn.init import init_with_reference_schemes
+    from ..train.checkpoint import save_checkpoint
+
+    nc = pth_args.get("num_classes", 2)
+    ps = pth_args.get("patch_size", (224, 224))
+    if isinstance(ps, int):
+        ps = (ps, ps)
+    if model_kind == "transunet":
+        from ..models.transunet import TransUNet
+        model = TransUNet(num_classes=nc)
+        conv_params, conv_stats = convert_transunet(sd_np)
+    else:
+        from ..models.deeplab import DeepLabV3Plus, DeepLabV3
+        bb = pth_args.get("backbone_type", "resnet50")
+        cls = DeepLabV3Plus if model_kind == "deeplabv3plus" else DeepLabV3
+        model = cls(num_classes=nc, backbone=bb)
+        conv_params, conv_stats = convert_deeplab(sd_np)
+
+    example = jnp.zeros((1,) + tuple(ps) + (3,), jnp.float32)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, example)
+    params = assign_converted(params, conv_params, strict=strict)
+    batch_stats = assign_converted(rest.get("batch_stats", {}), conv_stats,
+                                   strict=strict)
+    path = save_checkpoint(out_dir, iter_num, params, batch_stats)
+    n = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(params))
+    print(f"converted {model_kind} -> {path} ({n/1e6:.1f}M params, "
+          f"iter {iter_num})")
+    return path, None
+
+
 def convert_timm_backbone(pth_path: str, out_dir: str, variant: str):
     """Import a raw timm EfficientNetV2 checkpoint (the reference's
     pretrained-backbone source, segtran2d.py:106-117) as an orbax payload
@@ -190,7 +231,8 @@ def main(argv=None):
     p.add_argument("--pth", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--model", default="segtran2d",
-                   choices=["segtran2d", "segtran3d", "segtran25d", "unet2d"])
+                   choices=["segtran2d", "segtran3d", "segtran25d", "unet2d",
+                            "transunet", "deeplabv3plus", "deeplabv3"])
     p.add_argument("--timm-bb", dest="timm_bb", default=None,
                    choices=["effv2s", "effv2m", "effv2l"],
                    help="treat --pth as a raw timm EfficientNetV2 checkpoint "

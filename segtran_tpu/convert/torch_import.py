@@ -269,6 +269,31 @@ def convert_transunet(sd: Dict[str, np.ndarray], num_heads: int = 12
     return gparams, gstats
 
 
+_DL_CONVS = re.compile(r"\.aspp\.convs\.(\d)\.(\d)\.")
+_DL_V3_CONVS = re.compile(r"classifier\.classifier\.0\.convs\.(\d)\.(\d)\.")
+
+
+def rename_deeplab_key(key: str) -> str:
+    """Reference deeplab state_dict key (networks/deeplab/_deeplab.py) ->
+    models/deeplab.py scope path. Only the ASPP ModuleList needs renaming
+    (``convs.I.J`` -> the flat ``convsI_J`` scope); everything else maps via
+    the generic digit-pairing translation."""
+    key = _DL_V3_CONVS.sub(r"classifier.classifier.0.convs\1_\2.", key)
+    key = _DL_CONVS.sub(lambda m: f".aspp.convs{m.group(1)}_{m.group(2)}.",
+                        key)
+    return key
+
+
+def convert_deeplab(sd: Dict[str, np.ndarray]
+                    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference DeepLabV3/V3+ state_dict (torchvision-style
+    dilated resnet backbone + ASPP heads) to flax trees for
+    models/deeplab.py."""
+    renamed = {rename_deeplab_key(k): v for k, v in sd.items()
+               if not k.startswith(("backbone.fc.", "backbone.avgpool."))}
+    return convert_state_dict(renamed, tie_qk_shared=False)
+
+
 def assign_converted(target_params: Dict[str, Any],
                      converted: Dict[str, Any],
                      strict: bool = True,

@@ -30,11 +30,12 @@ def _bn(train, axis_name, dtype, name):
                         name=name)
 
 
-def _conv(feats, k, stride, name, dtype, pad=None):
+def _conv(feats, k, stride, name, dtype, pad=None, dilation=1):
     if pad is None:
-        pad = k // 2
+        pad = dilation * (k // 2)
     return nn.Conv(feats, (k, k), strides=(stride, stride),
-                   padding=((pad, pad), (pad, pad)), use_bias=False,
+                   padding=((pad, pad), (pad, pad)),
+                   kernel_dilation=(dilation, dilation), use_bias=False,
                    dtype=dtype, name=name)
 
 
@@ -43,15 +44,19 @@ class BasicBlock(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     bn_axis_name: Optional[str] = None
+    dilation: int = 1      # 3x3 conv dilation (torchvision
+    #                        replace_stride_with_dilation support)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = _conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
+        out = _conv(self.planes, 3, self.stride, "conv1", self.dtype,
+                    dilation=self.dilation)(x)
         out = _bn(train, self.bn_axis_name, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, "conv2", self.dtype)(out)
+        out = _conv(self.planes, 3, 1, "conv2", self.dtype,
+                    dilation=self.dilation)(out)
         out = _bn(train, self.bn_axis_name, self.dtype, "bn2")(out)
         if self.has_downsample:
             residual = _conv(self.planes, 1, self.stride, "downsample_0",
@@ -66,6 +71,8 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     bn_axis_name: Optional[str] = None
+    dilation: int = 1      # 3x3 conv dilation (torchvision
+    #                        replace_stride_with_dilation support)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -74,7 +81,8 @@ class Bottleneck(nn.Module):
         out = _conv(self.planes, 1, 1, "conv1", self.dtype, pad=0)(x)
         out = _bn(train, self.bn_axis_name, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, self.stride, "conv2", self.dtype)(out)
+        out = _conv(self.planes, 3, self.stride, "conv2", self.dtype,
+                    dilation=self.dilation)(out)
         out = _bn(train, self.bn_axis_name, self.dtype, "bn2")(out)
         out = nn.relu(out)
         out = _conv(self.planes * 4, 1, 1, "conv3", self.dtype, pad=0)(out)
@@ -93,6 +101,12 @@ class ResNetFeatures(nn.Module):
     variant: str = "resnet50"
     do_pool1: bool = True     # False == bb_feat_upsize (2x feature maps)
     bn_axis_name: Optional[str] = None
+    # torchvision replace_stride_with_dilation for layers 2..4 (deeplab
+    # output-stride tricks): when set for a layer, its stride moves into
+    # dilation; the layer's FIRST block keeps the previous dilation
+    # (torchvision _make_layer, deeplab/backbone/resnet.py:173-181)
+    replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False,
+                                                             False)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -113,13 +127,20 @@ class ResNetFeatures(nn.Module):
 
         feats = [x0]
         inplanes = 64
+        dilation = 1
         for li, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), layers)):
             stride = 1 if li == 0 else 2
+            prev_dilation = dilation
+            if li > 0 and self.replace_stride_with_dilation[li - 1]:
+                dilation *= stride
+                stride = 1
             for bi in range(blocks):
                 s = stride if bi == 0 else 1
+                d = prev_dilation if bi == 0 else dilation
                 need_ds = (bi == 0) and (s != 1 or inplanes != planes * expansion)
-                x = block_cls(planes, s, need_ds, self.bn_axis_name, self.dtype,
+                x = block_cls(planes, s, need_ds, self.bn_axis_name, d,
+                              self.dtype,
                               name=f"layer{li+1}_{bi}")(x, train=train)
                 inplanes = planes * expansion
             feats.append(x)
