@@ -226,6 +226,40 @@ def convert_timm_backbone(pth_path: str, out_dir: str, variant: str):
     return path
 
 
+def convert_eff_backbone(pth_path: str, out_dir: str, variant: str,
+                         stem_stride: int = 1):
+    """Import a raw EfficientNet checkpoint (the reference's pretrained
+    advprop weights, efficientnet/model.py from_pretrained) as a
+    backbone-only orbax payload for train2d --cp. Our flax scopes mirror the
+    vendored module names (_conv_stem, _blocks.{i}._expand_conv, ...), so
+    the generic mapper covers it; only the classification head is dropped."""
+    import torch
+    from .torch_import import convert_state_dict, assign_converted
+    from ..nn.backbones.efficientnet import EfficientNetFeatures
+    from ..nn.init import init_with_reference_schemes
+    from ..train.checkpoint import save_checkpoint
+
+    ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt.get("model", ckpt))
+    sd_np = {k: v.numpy() for k, v in sd.items()
+             if hasattr(v, "numpy") and not k.startswith("_fc.")}
+    conv_params, conv_stats = convert_state_dict(sd_np, tie_qk_shared=False)
+
+    bb = EfficientNetFeatures(variant=variant, stem_stride=stem_stride)
+    params, rest = init_with_reference_schemes(
+        bb, {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = assign_converted(params, conv_params, strict=True)
+    batch_stats = assign_converted(rest.get("batch_stats", {}), conv_stats,
+                                   strict=True)
+    path = save_checkpoint(out_dir, 0, {"backbone": params},
+                           {"backbone": batch_stats})
+    n = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(params))
+    print(f"converted {variant} backbone {pth_path} -> {path} "
+          f"({n/1e6:.1f}M params)")
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pth", required=True)
@@ -237,10 +271,20 @@ def main(argv=None):
                    choices=["effv2s", "effv2m", "effv2l"],
                    help="treat --pth as a raw timm EfficientNetV2 checkpoint "
                         "and emit a backbone-only payload for train2d --cp")
+    p.add_argument("--eff-bb", dest="eff_bb", default=None,
+                   choices=[f"eff-b{i}" for i in range(8)],
+                   help="treat --pth as a raw EfficientNet (advprop) "
+                        "checkpoint and emit a backbone-only payload")
+    p.add_argument("--stemstride", dest="stem_stride", type=int, default=1,
+                   help="backbone stem stride for --eff-bb (1 = the "
+                        "bb_feat_upsize default)")
     p.add_argument("--strict", action="store_true")
     args = p.parse_args(argv)
     if args.timm_bb:
         convert_timm_backbone(args.pth, args.out, args.timm_bb)
+    elif args.eff_bb:
+        convert_eff_backbone(args.pth, args.out, args.eff_bb,
+                             args.stem_stride)
     else:
         convert_pth(args.pth, args.out, args.model, args.strict)
 
