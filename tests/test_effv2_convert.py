@@ -140,6 +140,12 @@ def test_rename_drops_head_keeps_blocks():
 @pytest.mark.skipif(pytest.importorskip is None, reason="")
 def test_timm_endpoint_parity():
     timm = pytest.importorskip("timm")
+    if not hasattr(timm, "create_model"):
+        # test_segtran2d_parity installs a minimal timm stub in sys.modules so
+        # the reference's module-level `import timm` works without the real
+        # package; when that stub (or a broken install) is what we got, there
+        # is no oracle to compare against.
+        pytest.skip("timm is a stub (no create_model) -- real timm absent")
     import jax
     import jax.numpy as jnp
     from segtran_tpu.nn.init import init_with_reference_schemes
