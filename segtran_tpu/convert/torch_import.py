@@ -294,6 +294,37 @@ def convert_deeplab(sd: Dict[str, np.ndarray]
     return convert_state_dict(renamed, tie_qk_shared=False)
 
 
+def rename_setr_key(key: str) -> str | None:
+    """Reference SETR state_dict key (vendored mmseg, EncoderDecoder of
+    VisionTransformer + VisionTransformerUpHead -- train2d.py:954-974) ->
+    models/setr.py scope path, or None for params the forward never uses.
+
+    Dropped: the four auxiliary heads (constructed but unreachable through
+    forward_dummy, encoder_decoder.py:130-134) and BaseDecodeHead's
+    ``conv_seg`` (decode_head.py:79 -- VisionTransformerUpHead.forward never
+    calls it). ``backbone.patch_embed.proj`` collapses onto the single
+    ``backbone/patch_embed`` conv scope; everything else (blocks.N digit
+    pairing, qkv/proj Linear transposes, syncbn running stats) maps via the
+    generic translation."""
+    if key.startswith("auxiliary_head.") or key.startswith(
+            "decode_head.conv_seg."):
+        return None
+    return key.replace("backbone.patch_embed.proj.",
+                       "backbone.patch_embed.")
+
+
+def convert_setr(sd: Dict[str, np.ndarray]
+                 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference SETR-PUP state_dict to flax trees for
+    models/setr.py (SETR_PUP)."""
+    renamed = {}
+    for k, v in sd.items():
+        nk = rename_setr_key(k)
+        if nk is not None:
+            renamed[nk] = v
+    return convert_state_dict(renamed, tie_qk_shared=False)
+
+
 def assign_converted(target_params: Dict[str, Any],
                      converted: Dict[str, Any],
                      strict: bool = True,

@@ -1,73 +1,223 @@
-"""SETR-PUP baseline (--net setr): pure ViT encoder + progressive-upsampling
-decoder.
+"""SETR-PUP baseline (--net setr): ViT-Large encoder + progressive-upsampling
+head, faithful to the reference's vendored mmseg slice.
 
-Capability parity with the reference's vendored mmseg SETR slice -- the
-reference drags a 16k-LoC mmseg tree but only uses the SETR_PUP variant
-(reference train2d.py:954-974, configs/SETR/SETR_PUP_288x288_10k_fundus...).
-This implements exactly that variant from the published architecture:
-ViT-Large-ish encoder on 16x16 patches, PUP head = 4x (conv3x3 + BN + ReLU +
-2x bilinear upsample), plus optional auxiliary heads from intermediate layers.
+The reference drags a 16k-LoC mmseg tree but builds exactly one model from it
+(reference train2d.py:954-974 + configs/SETR/SETR_PUP_288x288_10k_fundus...):
+``EncoderDecoder(VisionTransformer, VisionTransformerUpHead)`` driven through
+``forward_dummy`` (encode_decode only -- the four auxiliary heads are
+constructed but never run, so they are omitted here).
+
+Faithfully mirrored, with reference citations:
+  * backbone: mmseg/models/backbones/vit.py:283-437 -- patchify conv, cls
+    token prepended, learned pos embed over N+1 tokens, dropout, 24 pre-LN
+    blocks with a FUSED qkv projection (vit.py:165-190), exact-erf GELU MLP,
+    NO final encoder norm (the head owns the last LayerNorm).
+  * head: mmseg/models/decode_heads/vit_up_head.py:73-183 -- the
+    ``x.shape[1] % 48 != 0`` cls-token drop quirk, LayerNorm(eps 1e-6),
+    then the num_conv=4 chain conv3x3+BN+ReLU with x2 bilinear
+    (align_corners=False) upsamples; conv_4 is the 1x1 classifier followed by
+    one final x2 upsample.
+  * glue: mmseg/models/segmentors/encoder_decoder.py:84-134 encode_decode
+    resizes the head output to the input size.
+
+Param scopes mirror the torch attribute names (backbone.blocks.0.attn.qkv ->
+backbone/blocks_0/attn/qkv) so ``convert/torch_import.convert_setr`` maps
+reference checkpoints generically.
 """
 from __future__ import annotations
 
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from ..nn.vit import PatchEmbed, ViTEncoder
 from ..ops.resize import resize_linear
 
 
-class SETR_PUP(nn.Module):
-    num_classes: int = 2
+class SETRAttention(nn.Module):
+    """Fused-qkv MHSA (reference vit.py:165-190 Attention)."""
+    num_heads: int
+    dropout: float = 0.1
+    attn_dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        b, n, c = x.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        # reference scales by head_dim ** -0.5 and softmaxes in the compute
+        # dtype; keep the softmax accumulation in fp32 for bf16 runs
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(self.dtype)
+        attn = nn.Dropout(self.attn_dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class SETRMlp(nn.Module):
+    """fc1 -> exact GELU -> drop -> fc2 -> drop (reference vit.py:146-162)."""
+    hidden: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        d = x.shape[-1]
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(d, dtype=self.dtype, name="fc2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class SETRBlock(nn.Module):
+    """Pre-LN transformer block (reference vit.py:193-212)."""
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + SETRAttention(self.num_heads, self.dropout, dtype=self.dtype,
+                              name="attn")(h, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + SETRMlp(int(x.shape[-1] * self.mlp_ratio), self.dropout,
+                        dtype=self.dtype,
+                        name="mlp")(h, deterministic=deterministic)
+        return x
+
+
+class SETRBackbone(nn.Module):
+    """mmseg VisionTransformer (vit.py:283-437): patchify + cls token + pos
+    embed, then ``depth`` blocks. Returns the LAST block's tokens (in_index
+    23 in the fundus config) -- no final LayerNorm (the head applies it)."""
     patch: int = 16
-    hidden_dim: int = 768
-    num_layers: int = 12
-    num_heads: int = 12
-    mlp_dim: int = 3072
-    head_channels: int = 256
-    with_aux_heads: bool = False
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True) -> Tuple[jnp.ndarray,
+                                                       Tuple[int, int]]:
+        p = self.patch
+        b = x.shape[0]
+        # torch scope backbone.patch_embed.proj; convert_setr collapses the
+        # trailing '.proj' so the conv maps onto this single module
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x)
+        _, gh, gw, c = x.shape
+        x = x.reshape(b, gh * gw, c)
+        cls_token = self.param("cls_token", nn.initializers.normal(0.02),
+                               (1, 1, self.embed_dim))
+        pos_embed = self.param("pos_embed", nn.initializers.normal(0.02),
+                               (1, gh * gw + 1, self.embed_dim))
+        x = jnp.concatenate(
+            [jnp.tile(cls_token.astype(self.dtype), (b, 1, 1)), x], axis=1)
+        x = x + pos_embed.astype(self.dtype)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        for i in range(self.depth):
+            x = SETRBlock(self.num_heads, self.mlp_ratio, self.drop_rate,
+                          dtype=self.dtype,
+                          name=f"blocks_{i}")(x, deterministic=deterministic)
+        return x, (gh, gw)
+
+
+class SETRUpHead(nn.Module):
+    """mmseg VisionTransformerUpHead (vit_up_head.py:73-183), bilinear
+    upsampling_method, conv3x3_conv1x1=True. num_conv=4/num_upsampe_layer=4
+    is the fundus decode head; num_conv=2/num_upsampe_layer=2 is the aux-head
+    shape (kept for completeness)."""
+    num_classes: int
+    num_conv: int = 4
+    align_corners: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, grid, train: bool = False):
+        def _bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+        gh, gw = grid
+        b, n, c = tokens.shape
+        # vit_up_head.py:130-133 quirk: the cls token is dropped only when
+        # the token count is not a multiple of 48 (288^2/16^2+1=325 -> drop)
+        if n % 48 != 0:
+            tokens = tokens[:, 1:]
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+        x = x.reshape(b, gh, gw, c)
+
+        def up2(v):
+            # F.interpolate(size=2x, align_corners=False) == half-pixel
+            return resize_linear(v, (v.shape[1] * 2, v.shape[2] * 2))
+
+        conv3 = dict(padding=((1, 1), (1, 1)), dtype=self.dtype)
+        if self.num_conv == 4:
+            x = nn.Conv(256, (3, 3), **conv3, name="conv_0")(x)
+            x = nn.relu(_bn("syncbn_fc_0")(x))
+            x = up2(x)
+            x = nn.Conv(256, (3, 3), **conv3, name="conv_1")(x)
+            x = nn.relu(_bn("syncbn_fc_1")(x))
+            x = up2(x)
+            x = nn.Conv(256, (3, 3), **conv3, name="conv_2")(x)
+            x = nn.relu(_bn("syncbn_fc_2")(x))
+            x = up2(x)
+            x = nn.Conv(256, (3, 3), **conv3, name="conv_3")(x)
+            x = nn.relu(_bn("syncbn_fc_3")(x))
+            x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                        name="conv_4")(x)
+            x = up2(x)
+        elif self.num_conv == 2:
+            x = nn.Conv(256, (3, 3), **conv3, name="conv_0")(x)
+            x = nn.relu(_bn("syncbn_fc_0")(x))
+            x = resize_linear(x, (x.shape[1] * 4, x.shape[2] * 4))
+            x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                        name="conv_1")(x)
+        else:
+            raise ValueError(f"num_conv={self.num_conv} not in (2, 4)")
+        return x
+
+
+class SETR_PUP(nn.Module):
+    """SETR-PUP segmentor as the reference builds it for fundus/polyp
+    (EncoderDecoder.forward_dummy): backbone -> up head -> resize to input.
+
+    Defaults are the fundus recipe's ViT-Large
+    (SETR_PUP_288x288_10k_fundus_context_bs_4.py + setr_naive_pup.py base:
+    embed 1024, depth 24, heads 16, patch 16, drop 0.1, num_conv=4, BN head
+    norm, align_corners=False)."""
+    num_classes: int = 3
+    patch: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.1
+    num_conv: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        dt = self.dtype
-        b, h, w, _ = x.shape
-        tokens, (gh, gw) = PatchEmbed(self.hidden_dim, self.patch, dtype=dt,
-                                      name="embeddings")(
-            x, deterministic=not train)
-        enc = ViTEncoder(self.num_layers, self.num_heads, self.mlp_dim,
-                         keep_layer_outputs=self.with_aux_heads, dtype=dt,
-                         name="encoder")(tokens, deterministic=not train)
-        if self.with_aux_heads:
-            enc, layer_outs = enc
-        feat = enc.reshape(b, gh, gw, self.hidden_dim)
-
-        def pup_stage(v, i):
-            v = nn.Conv(self.head_channels, (3, 3), padding=((1, 1), (1, 1)),
-                        use_bias=False, dtype=dt, name=f"pup{i}_conv")(v)
-            v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dt, name=f"pup{i}_bn")(v)
-            v = nn.relu(v)
-            return resize_linear(v, (v.shape[1] * 2, v.shape[2] * 2))
-
-        v = feat
-        for i in range(4):
-            v = pup_stage(v, i)
-        logits = nn.Conv(self.num_classes, (1, 1), dtype=dt,
-                         name="cls_head")(v)
+        h, w = x.shape[1:3]
+        tokens, grid = SETRBackbone(
+            self.patch, self.embed_dim, self.depth, self.num_heads,
+            self.mlp_ratio, self.drop_rate, dtype=self.dtype,
+            name="backbone")(x, deterministic=not train)
+        logits = SETRUpHead(self.num_classes, self.num_conv,
+                            dtype=self.dtype,
+                            name="decode_head")(tokens, grid, train=train)
+        # encoder_decoder.py:89-93: resize to the input size
         if logits.shape[1:3] != (h, w):
             logits = resize_linear(logits, (h, w))
-        logits = logits.astype(jnp.float32)
-        if not self.with_aux_heads:
-            return logits
-        aux = []
-        for i, li in enumerate((self.num_layers // 4,
-                                self.num_layers // 2,
-                                3 * self.num_layers // 4)):
-            a = layer_outs[li - 1].reshape(b, gh, gw, self.hidden_dim)
-            a = nn.Conv(self.num_classes, (1, 1), dtype=dt,
-                        name=f"aux_head_{i}")(a)
-            aux.append(resize_linear(a.astype(jnp.float32), (h, w)))
-        return logits, aux
+        return logits.astype(jnp.float32)

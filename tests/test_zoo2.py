@@ -23,14 +23,26 @@ def test_transunet():
 
 def test_setr_pup():
     from segtran_tpu.models.setr import SETR_PUP
-    m = SETR_PUP(num_classes=3, num_layers=4, hidden_dim=96, num_heads=4,
-                 mlp_dim=192, head_channels=32)
+    m = SETR_PUP(num_classes=3, depth=2, embed_dim=96, num_heads=4,
+                 mlp_ratio=2.0)
     out = _fwd(m, jnp.ones((1, 64, 64, 3)))
     assert out.shape == (1, 64, 64, 3)
-    m2 = SETR_PUP(num_classes=3, num_layers=4, hidden_dim=96, num_heads=4,
-                  mlp_dim=192, head_channels=32, with_aux_heads=True)
-    out, aux = _fwd(m2, jnp.ones((1, 64, 64, 3)))
-    assert out.shape == (1, 64, 64, 3) and len(aux) == 3
+    assert np.isfinite(np.asarray(out)).all()
+
+    # train-mode gradient smoke (dropout rng + mutable BN stats)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss(p):
+        y, _ = m.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                       x, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                       mutable=["batch_stats"])
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
 def test_deeplab():
