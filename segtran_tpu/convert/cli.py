@@ -91,7 +91,7 @@ def convert_pth(pth_path: str, out_dir: str, model_kind: str = "segtran2d",
     sd_np = {k: v.numpy() for k, v in sd.items()
              if hasattr(v, "numpy")}
 
-    if model_kind in ("transunet", "deeplabv3plus", "deeplabv3"):
+    if model_kind in ("transunet", "deeplabv3plus", "deeplabv3", "setr"):
         return _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num,
                                 out_dir, strict)
     # discard DA heads the eval model doesn't own (reference test2d.py:671-674)
@@ -163,7 +163,7 @@ def _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num, out_dir,
     """Zoo nets with dedicated key adapters (reference train2d.py saves
     their plain state_dicts like any other net's)."""
     from .torch_import import (convert_transunet, convert_deeplab,
-                               assign_converted)
+                               convert_setr, assign_converted)
     from ..nn.init import init_with_reference_schemes
     from ..train.checkpoint import save_checkpoint
 
@@ -175,6 +175,10 @@ def _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num, out_dir,
         from ..models.transunet import TransUNet
         model = TransUNet(num_classes=nc)
         conv_params, conv_stats = convert_transunet(sd_np)
+    elif model_kind == "setr":
+        from ..models.setr import SETR_PUP
+        model = SETR_PUP(num_classes=nc)
+        conv_params, conv_stats = convert_setr(sd_np)
     else:
         from ..models.deeplab import DeepLabV3Plus, DeepLabV3
         bb = pth_args.get("backbone_type", "resnet50")
@@ -266,7 +270,8 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--model", default="segtran2d",
                    choices=["segtran2d", "segtran3d", "segtran25d", "unet2d",
-                            "transunet", "deeplabv3plus", "deeplabv3"])
+                            "transunet", "deeplabv3plus", "deeplabv3",
+                            "setr"])
     p.add_argument("--timm-bb", dest="timm_bb", default=None,
                    choices=["effv2s", "effv2m", "effv2l"],
                    help="treat --pth as a raw timm EfficientNetV2 checkpoint "
