@@ -21,6 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# zoo nets with dedicated key adapters + parity tests (reference train2d/
+# train3d save their plain state_dicts like any other net's)
+_ZOO_KINDS = ("transunet", "deeplabv3plus", "deeplabv3", "setr", "attunet",
+              "r2attunet", "dunet", "nestedunet", "unet3plus", "vnet",
+              "unet3d")
+
 
 def config_from_pth_args(pth_args: dict, model_kind: str):
     from ..configs import (Segtran2dConfig, Segtran3dConfig, Segtran25dConfig)
@@ -91,7 +97,7 @@ def convert_pth(pth_path: str, out_dir: str, model_kind: str = "segtran2d",
     sd_np = {k: v.numpy() for k, v in sd.items()
              if hasattr(v, "numpy")}
 
-    if model_kind in ("transunet", "deeplabv3plus", "deeplabv3", "setr"):
+    if model_kind in _ZOO_KINDS:
         return _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num,
                                 out_dir, strict)
     # discard DA heads the eval model doesn't own (reference test2d.py:671-674)
@@ -163,7 +169,10 @@ def _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num, out_dir,
     """Zoo nets with dedicated key adapters (reference train2d.py saves
     their plain state_dicts like any other net's)."""
     from .torch_import import (convert_transunet, convert_deeplab,
-                               convert_setr, assign_converted)
+                               convert_setr, convert_attunet, convert_dunet,
+                               convert_nestedunet, convert_unet3plus,
+                               convert_vnet, convert_unet3d,
+                               assign_converted)
     from ..nn.init import init_with_reference_schemes
     from ..train.checkpoint import save_checkpoint
 
@@ -179,6 +188,34 @@ def _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num, out_dir,
         from ..models.setr import SETR_PUP
         model = SETR_PUP(num_classes=nc)
         conv_params, conv_stats = convert_setr(sd_np)
+    elif model_kind in ("attunet", "r2attunet"):
+        from ..models.att_unet import AttUNet
+        model = AttUNet(num_classes=nc, use_attention=True,
+                        recurrent=(model_kind == "r2attunet"))
+        conv_params, conv_stats = convert_attunet(sd_np)
+    elif model_kind == "dunet":
+        from ..models.dunet import DUNetV1V2
+        model = DUNetV1V2(n_classes=nc)
+        conv_params, conv_stats = convert_dunet(sd_np)
+    elif model_kind == "nestedunet":
+        from ..models.nested_unet import NestedUNet
+        model = NestedUNet(num_classes=nc)
+        conv_params, conv_stats = convert_nestedunet(sd_np)
+    elif model_kind == "unet3plus":
+        from ..models.unet_3plus import UNet3Plus
+        model = UNet3Plus(num_classes=nc)
+        conv_params, conv_stats = convert_unet3plus(sd_np)
+    elif model_kind == "vnet":
+        from ..models.vnet import VNet
+        model = VNet(n_channels=pth_args.get("orig_in_channels", 1),
+                     num_classes=nc, normalization="batchnorm",
+                     has_dropout=True)
+        conv_params, conv_stats = convert_vnet(sd_np)
+    elif model_kind == "unet3d":
+        from ..models.unet3d import Modified3DUNet
+        model = Modified3DUNet(
+            in_channels=pth_args.get("orig_in_channels", 4), num_classes=nc)
+        conv_params, conv_stats = convert_unet3d(sd_np)
     else:
         from ..models.deeplab import DeepLabV3Plus, DeepLabV3
         bb = pth_args.get("backbone_type", "resnet50")
@@ -186,7 +223,12 @@ def _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num, out_dir,
         model = cls(num_classes=nc, backbone=bb)
         conv_params, conv_stats = convert_deeplab(sd_np)
 
-    example = jnp.zeros((1,) + tuple(ps) + (3,), jnp.float32)
+    if model_kind in ("vnet", "unet3d"):
+        c_in = pth_args.get("orig_in_channels", 1 if model_kind == "vnet"
+                            else 4)
+        example = jnp.zeros((1, 16, 16, 16, c_in), jnp.float32)
+    else:
+        example = jnp.zeros((1,) + tuple(ps) + (3,), jnp.float32)
     params, rest = init_with_reference_schemes(
         model, {"params": jax.random.PRNGKey(0)}, example)
     params = assign_converted(params, conv_params, strict=strict)
@@ -269,9 +311,8 @@ def main(argv=None):
     p.add_argument("--pth", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--model", default="segtran2d",
-                   choices=["segtran2d", "segtran3d", "segtran25d", "unet2d",
-                            "transunet", "deeplabv3plus", "deeplabv3",
-                            "setr"])
+                   choices=["segtran2d", "segtran3d", "segtran25d",
+                            "unet2d"] + sorted(_ZOO_KINDS))
     p.add_argument("--timm-bb", dest="timm_bb", default=None,
                    choices=["effv2s", "effv2m", "effv2l"],
                    help="treat --pth as a raw timm EfficientNetV2 checkpoint "

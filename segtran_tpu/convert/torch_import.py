@@ -294,6 +294,130 @@ def convert_deeplab(sd: Dict[str, np.ndarray]
     return convert_state_dict(renamed, tie_qk_shared=False)
 
 
+def convert_vnet(sd: Dict[str, np.ndarray]
+                 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference VNet state_dict (networks/vnet.py:145-260) to
+    flax trees for models/vnet.py. Scope names mirror the torch Sequential
+    indices (block_one.conv.0 -> block_one/conv_0); the UpsamplingDeconvBlock
+    ConvTranspose3d weights ([I, O, k, k, k]) are flagged so the generic
+    mapper applies the transpose+flip."""
+    transposed = frozenset(
+        k[:-len(".weight")] for k in sd
+        if k.endswith("_up.conv.0.weight"))
+    return convert_state_dict(sd, tie_qk_shared=False,
+                              transposed_conv_paths=transposed)
+
+
+_U3D_RENAMES = [
+    (re.compile(r"^lrelu_conv_c1\.1\."), "lrelu_conv_c1."),
+    (re.compile(r"^(norm_lrelu_conv_c\d)\.2\."), r"\1."),
+    (re.compile(r"^norm_lrelu_upscale_conv_norm_lrelu_(l\d)\.3\."),
+     r"up_\1."),
+    (re.compile(r"^(conv_norm_lrelu_l\d)\.0\."), r"\1."),
+]
+
+
+def convert_unet3d(sd: Dict[str, np.ndarray]
+                   ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference Modified3DUNet state_dict (networks/unet3d.py)
+    to flax trees for models/unet3d.py. InstanceNorm3d carries no params;
+    each helper Sequential holds exactly one conv, renamed onto the flax
+    flat conv scopes (the doubly-applied norm_lrelu_conv_cN convs map once
+    and are shared, matching the reference's double application)."""
+    renamed = {}
+    for k, v in sd.items():
+        for pat, rep in _U3D_RENAMES:
+            k = pat.sub(rep, k)
+        renamed[k] = v
+    return convert_state_dict(renamed, tie_qk_shared=False)
+
+
+def convert_nestedunet(sd: Dict[str, np.ndarray]
+                       ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference NestedUNet (UNet++) state_dict
+    (networks/nested_unet.py:67-137) to flax trees for
+    models/nested_unet.py. Scope names mirror the torch attributes exactly
+    (convI_J.conv1/bn1/conv2/bn2, finalN), so the generic translation
+    suffices."""
+    return convert_state_dict(sd, tie_qk_shared=False)
+
+
+_U3P_CONV = re.compile(r"^(conv\d)\.conv(\d)\.0\.")
+_U3P_BN = re.compile(r"^(conv\d)\.conv(\d)\.1\.")
+
+
+def convert_unet3plus(sd: Dict[str, np.ndarray]
+                      ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference UNet_3Plus state_dict
+    (networks/unet_3plus/unet_3plus.py:10-240) to flax trees for
+    models/unet_3plus.py. The encoder's unetConv2 stores each stage as a
+    Sequential (convN.0 conv / convN.1 BN, layers.py:17-21) where the flax
+    UnetConv2 names them convN / bnN; every decoder branch
+    (hX_PT_hdY_conv/_bn, convNd_1/bnNd_1, outconv1) maps generically."""
+    renamed = {}
+    for k, v in sd.items():
+        k = _U3P_BN.sub(r"\1.bn\2.", k)
+        k = _U3P_CONV.sub(r"\1.conv\2.", k)
+        renamed[k] = v
+    return convert_state_dict(renamed, tie_qk_shared=False)
+
+
+_DUNET_DOWN = re.compile(r"^(down\d)\.mpconv\.1\.conv\.")
+_DUNET_WRAP = re.compile(r"^(inc|up\d)\.conv\.conv\.")
+
+
+def convert_dunet(sd: Dict[str, np.ndarray]
+                  ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference DUNetV1V2 state_dict
+    (networks/deformable_unet/deform_unet.py) to flax trees for
+    models/dunet.py.
+
+    The inconv/down/up wrappers each hold a double_conv whose Sequential is
+    the flax DoubleConv scope, so the wrapper levels collapse
+    (down1.mpconv.1.conv.0 -> down1.conv_0). DeformConv2d's inner stride-k
+    conv (deform_conv_v2.py:16,87) becomes the flat ``conv_kernel`` tap
+    matmul: [O, I, k, k] -> [(dr*k+dc)*I + i, O]."""
+    renamed = {}
+    for k, v in sd.items():
+        k = _DUNET_DOWN.sub(r"\1.conv.", k)
+        k = _DUNET_WRAP.sub(r"\1.conv.", k)
+        renamed[k] = v
+    # deform blocks: a '<blk>.conv.weight' whose sibling '<blk>.p_conv.weight'
+    # exists is the DeformConv2d inner conv, not a plain nn.Conv
+    deform_blocks = {k[:-len(".p_conv.weight")] for k in renamed
+                     if k.endswith(".p_conv.weight")}
+    deform_kernels = {}
+    for blk in deform_blocks:
+        w = renamed.pop(f"{blk}.conv.weight")
+        o, i, kh, kw = w.shape
+        deform_kernels[blk] = w.transpose(2, 3, 1, 0).reshape(kh * kw * i, o)
+    params, batch_stats = convert_state_dict(renamed, tie_qk_shared=False)
+    for blk, kern in deform_kernels.items():
+        _set_path(params, _translate_module_path(blk) + ("conv_kernel",),
+                  kern)
+    return params, batch_stats
+
+
+_ATT_RRCNN = re.compile(r"^RRCNN(\d)\.")
+_ATT_UP_RRCNN = re.compile(r"^Up_RRCNN(\d)\.")
+
+
+def convert_attunet(sd: Dict[str, np.ndarray]
+                    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference AttU_Net / R2AttU_Net state_dict
+    (networks/att_unet.py:276-418) to flax trees for models/att_unet.py.
+
+    AttU_Net keys map via the generic digit-pairing translation; the R2
+    variants name their blocks RRCNN1..5 / Up_RRCNN5..2 where the flax model
+    reuses the Conv1..5 / Up_conv5..2 scopes for both topologies."""
+    renamed = {}
+    for k, v in sd.items():
+        k = _ATT_UP_RRCNN.sub(r"Up_conv\1.", k)
+        k = _ATT_RRCNN.sub(r"Conv\1.", k)
+        renamed[k] = v
+    return convert_state_dict(renamed, tie_qk_shared=False)
+
+
 def rename_setr_key(key: str) -> str | None:
     """Reference SETR state_dict key (vendored mmseg, EncoderDecoder of
     VisionTransformer + VisionTransformerUpHead -- train2d.py:954-974) ->

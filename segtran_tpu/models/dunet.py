@@ -31,10 +31,11 @@ class DoubleConv(nn.Module):
     def __call__(self, x, train=False):
         for i in range(2):
             if self.deform:
-                # reference uses padding=0 in its DeformConv2d call
-                # (deform_part.py:12) but the op keeps spatial size via its
-                # internal grid, so output size is unchanged
-                x = DeformConv2d(self.out_ch, 3, padding=1,
+                # reference wires padding=0 (deform_part.py:12,16): spatial
+                # size is preserved by the op's internal grid, but the base
+                # sampling positions sit one pixel down-right of center --
+                # a reference quirk reproduced by DeformConv2d(padding=0)
+                x = DeformConv2d(self.out_ch, 3, padding=0,
                                  dtype=self.dtype, name=f"conv_{3*i}")(x)
             else:
                 x = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),

@@ -44,21 +44,31 @@ class Modified3DUNet(nn.Module):
         dt = self.dtype
         bf = self.base_n_filter
         lrelu = lambda v: nn.leaky_relu(v, 0.01)
-        drop = lambda v: nn.Dropout(0.6)(v, deterministic=not train)
+        # torch Dropout3d drops whole channels -> broadcast over spatial dims
+        drop = lambda v: nn.Dropout(0.6, broadcast_dims=(1, 2, 3))(
+            v, deterministic=not train)
 
-        def norm_lrelu_conv(v, f, scope):
-            v = _inorm(dt, f"{scope}_norm")(v)
-            return _conv(f, 3, 1, dt, f"{scope}_conv")(lrelu(v))
+        def make_norm_lrelu_conv(f, scope):
+            """One IN+LReLU+Conv Sequential; the reference APPLIES EACH OF
+            THESE TWICE with shared weights (unet3d.py:115-118 calls
+            self.norm_lrelu_conv_c2 twice around the dropout -- a quirk
+            reproduced here by reusing the module)."""
+            conv = _conv(f, 3, 1, dt, scope)
+
+            def apply(v):
+                v = _inorm(dt)(v)
+                return conv(lrelu(v))
+            return apply
 
         def conv_norm_lrelu(v, f, scope):
-            v = _conv(f, 3, 1, dt, f"{scope}_conv")(v)
-            return lrelu(_inorm(dt, f"{scope}_norm")(v))
+            v = _conv(f, 3, 1, dt, scope)(v)
+            return lrelu(_inorm(dt)(v))
 
         def up_block(v, f_out, scope):
-            v = lrelu(_inorm(dt, f"{scope}_norm1")(v))
+            v = lrelu(_inorm(dt)(v))
             v = _upscale_nearest(v)
-            v = _conv(f_out, 3, 1, dt, f"{scope}_conv")(v)
-            return lrelu(_inorm(dt, f"{scope}_norm2")(v))
+            v = _conv(f_out, 3, 1, dt, scope)(v)
+            return lrelu(_inorm(dt)(v))
 
         # context pathway (residual blocks, reference :97-150)
         out = _conv(bf, 3, 1, dt, "conv3d_c1_1")(x)
@@ -74,9 +84,10 @@ class Modified3DUNet(nn.Module):
         def context_level(v, f, scope):
             v = _conv(f, 3, 2, dt, f"conv3d_{scope}")(v)
             res = v
-            v = norm_lrelu_conv(v, f, f"norm_lrelu_conv_{scope}a")
+            nlc = make_norm_lrelu_conv(f, f"norm_lrelu_conv_{scope}")
+            v = nlc(v)
             v = drop(v)
-            v = norm_lrelu_conv(v, f, f"norm_lrelu_conv_{scope}b")
+            v = nlc(v)
             v = v + res
             v = _inorm(dt, f"inorm3d_{scope}")(v)
             return lrelu(v)
@@ -89,9 +100,10 @@ class Modified3DUNet(nn.Module):
         context_4 = out
         out = _conv(bf * 16, 3, 2, dt, "conv3d_c5")(out)
         res5 = out
-        out = norm_lrelu_conv(out, bf * 16, "norm_lrelu_conv_c5a")
+        nlc5 = make_norm_lrelu_conv(bf * 16, "norm_lrelu_conv_c5")
+        out = nlc5(out)
         out = drop(out)
-        out = norm_lrelu_conv(out, bf * 16, "norm_lrelu_conv_c5b")
+        out = nlc5(out)
         out = out + res5
         out = up_block(out, bf * 8, "up_l0")
 

@@ -111,7 +111,9 @@ class VNet(nn.Module):
         d4 = DownBlock(16 * nf, name="block_four_dw", **kw)(x4, train)
         x5 = ConvBlock(3, 16 * nf, name="block_five", **kw)(d4, train)
         if self.has_dropout:
-            x5 = nn.Dropout(0.5)(x5, deterministic=not train)
+            # torch Dropout3d: whole-channel dropout
+            x5 = nn.Dropout(0.5, broadcast_dims=(1, 2, 3))(
+                x5, deterministic=not train)
         u5 = UpBlock(8 * nf, name="block_five_up", **kw)(x5, train) + x4
         x6 = ConvBlock(3, 8 * nf, name="block_six", **kw)(u5, train)
         u6 = UpBlock(4 * nf, name="block_six_up", **kw)(x6, train) + x3
@@ -121,6 +123,7 @@ class VNet(nn.Module):
         u8 = UpBlock(nf, name="block_eight_up", **kw)(x8, train) + x1
         x9 = ConvBlock(1, nf, name="block_nine", **kw)(u8, train)
         if self.has_dropout:
-            x9 = nn.Dropout(0.5)(x9, deterministic=not train)
+            x9 = nn.Dropout(0.5, broadcast_dims=(1, 2, 3))(
+                x9, deterministic=not train)
         return nn.Conv(self.num_classes, (1, 1, 1), dtype=dt,
                        name="out_conv")(x9).astype(jnp.float32)
