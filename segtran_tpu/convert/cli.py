@@ -25,7 +25,7 @@ import numpy as np
 # train3d save their plain state_dicts like any other net's)
 _ZOO_KINDS = ("transunet", "deeplabv3plus", "deeplabv3", "setr", "attunet",
               "r2attunet", "dunet", "nestedunet", "unet3plus", "vnet",
-              "unet3d")
+              "unet3d", "unet_smp")
 
 
 def config_from_pth_args(pth_args: dict, model_kind: str):
@@ -216,6 +216,12 @@ def _convert_zoo_pth(model_kind, sd_np, pth_args, iter_num, out_dir,
         model = Modified3DUNet(
             in_channels=pth_args.get("orig_in_channels", 4), num_classes=nc)
         conv_params, conv_stats = convert_unet3d(sd_np)
+    elif model_kind == "unet_smp":
+        from ..models.unet_smp import UnetSMP
+        from .torch_import import convert_unet_smp
+        model = UnetSMP(num_classes=nc,
+                        encoder=pth_args.get("backbone_type", "resnet34"))
+        conv_params, conv_stats = convert_unet_smp(sd_np)
     else:
         from ..models.deeplab import DeepLabV3Plus, DeepLabV3
         bb = pth_args.get("backbone_type", "resnet50")

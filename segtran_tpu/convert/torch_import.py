@@ -418,6 +418,35 @@ def convert_attunet(sd: Dict[str, np.ndarray]
     return convert_state_dict(renamed, tie_qk_shared=False)
 
 
+_SMP_DEC_CONV = re.compile(r"^decoder\.blocks\.(\d+)\.conv(\d)\.0\.")
+_SMP_DEC_BN = re.compile(r"^decoder\.blocks\.(\d+)\.conv(\d)\.1\.")
+
+
+def convert_unet_smp(sd: Dict[str, np.ndarray]
+                     ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a reference smp.Unet state_dict (vendored
+    segmentation_models_pytorch, --net unet, train2d.py:933-951) to flax
+    trees for models/unet_smp.py.
+
+    Decoder Conv2dReLU Sequentials (unet/decoder.py:18-33: convM.0 conv /
+    convM.1 BN) map onto the flat decoder_{i}.convM/bnM scopes and the
+    SegmentationHead Sequential's conv (base/heads.py:8) onto
+    segmentation_head; encoder keys (torchvision resnet naming, matching our
+    ResNetFeatures scopes) go through the generic digit-pairing translation.
+    Classifier remnants (fc/avgpool) are dropped."""
+    renamed = {}
+    for k, v in sd.items():
+        if k.startswith(("encoder.fc.", "encoder.avgpool.",
+                         "classification_head.")):
+            continue
+        k = _SMP_DEC_BN.sub(r"decoder_\1.bn\2.", k)
+        k = _SMP_DEC_CONV.sub(r"decoder_\1.conv\2.", k)
+        if k.startswith("segmentation_head.0."):
+            k = "segmentation_head." + k[len("segmentation_head.0."):]
+        renamed[k] = v
+    return convert_state_dict(renamed, tie_qk_shared=False)
+
+
 def rename_setr_key(key: str) -> str | None:
     """Reference SETR state_dict key (vendored mmseg, EncoderDecoder of
     VisionTransformer + VisionTransformerUpHead -- train2d.py:954-974) ->

@@ -100,6 +100,10 @@ class ResNetFeatures(nn.Module):
     resnet.py:186-201 ext_features."""
     variant: str = "resnet50"
     do_pool1: bool = True     # False == bb_feat_upsize (2x feature maps)
+    # SMP ResNetEncoder taps (smp encoders/resnet.py:47-55): the first
+    # feature is the PRE-maxpool stem (stride 2) instead of ext_features'
+    # post-pool x0_pool; layer1 still consumes the pooled stem
+    stem_prepool_tap: bool = False
     bn_axis_name: Optional[str] = None
     # torchvision replace_stride_with_dilation for layers 2..4 (deeplab
     # output-stride tricks): when set for a layer, its stride moves into
@@ -120,10 +124,11 @@ class ResNetFeatures(nn.Module):
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = _bn(train, self.bn_axis_name, self.dtype, "bn1")(x)
         x = nn.relu(x)
+        stem = x
         if self.do_pool1:
             x = max_pool_nhwc(x, (3, 3), strides=(2, 2),
                               padding=((1, 1), (1, 1)))
-        x0 = x
+        x0 = stem if self.stem_prepool_tap else x
 
         feats = [x0]
         inplanes = 64
