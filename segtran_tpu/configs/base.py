@@ -99,6 +99,11 @@ class TransformerConfig:
     # Pallas flash-style fused attention for serving/training fast path.
     use_fused_attention: bool = False
 
+    # Pallas fused private-output+LayerNorm+mode-pool epilogue over the
+    # encoder's [B, M, N, F] mid tensors (kernels/expansion_epilogue.py);
+    # inference-only fast path, exact XLA modules remain the training path.
+    use_fused_epilogue: bool = False
+
     # Rematerialize backbone + fusion encoder activations in the backward pass
     # (jax.checkpoint): trades ~30% step FLOPs for large HBM savings, enabling
     # bigger batches / whole-volume training on 16GB v5e chips.

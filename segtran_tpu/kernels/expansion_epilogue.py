@@ -1,0 +1,125 @@
+"""Fused expansion epilogue: per-mode private output linear + LayerNorm +
+learned softmax mode-pooling in ONE pass over the [B, M, N, F] mid tensor.
+
+The reference's ExpandedFeatTrans tail (segtran_shared.py:255-275 private
+output, :311-325 LearnedSoftAggregate) is, per mode m:
+
+    y_m   = mid_m @ W2_m + b2_m          (MMPrivateOutput group linear;
+                                          the residual is dropped -- the
+                                          reference quirk)
+    l_m   = LayerNorm(y_m)               (eps 1e-12)
+    s_m   = l_m @ w_s + b_s              (feat2score)
+    out   = sum_m softmax_m(s) * l_m     (pool over modes)
+
+On the XLA path every step round-trips a [B, M, N, F] tensor through HBM
+(y, l), which at the flagship's N-token side (N=1296 x batch, F up to 1792)
+is the encoder's dominant bandwidth term. This kernel streams mid tile by
+tile and writes only the pooled [B, N, F] result: one read + one 1/M-size
+write instead of ~3 round trips.
+
+Constraint: the whole [M, F, F] W2 weight must fit in VMEM alongside the
+tiles (it is fetched once -- constant index map -- and stays resident), so
+the kernel serves layers with M*F*F*itemsize <= W2_VMEM_BUDGET (the
+flagship's compressed layers F=896/448; the F=1792 layer 0 falls back to
+XLA). Forward-only (inference/serving path): no custom VJP, the caller must
+keep the XLA path for training.
+
+Numerics: MXU accumulation fp32; bias-add / normalize in the compute dtype
+with fp32 LN statistics (same recipe as ops/norm.FastLayerNorm); the mode
+softmax and the pooling sum run fp32 (slightly more accurate than the XLA
+bf16 path).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# [M, F, F] resident-weight budget (bytes). 8 MB leaves room for the mid /
+# out tiles + fp32 temporaries in ~16 MB VMEM.
+W2_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def supports(num_modes: int, feat_dim: int, itemsize: int) -> bool:
+    return num_modes * feat_dim * feat_dim * itemsize <= W2_VMEM_BUDGET
+
+
+def _epilogue_kernel(mid_ref, w2_ref, b2_ref, scale_ref, lnb_ref, ws_ref,
+                     bs_ref, o_ref, *, num_modes: int, ln_eps: float):
+    cdt = mid_ref.dtype
+    scale = scale_ref[0]               # [F]
+    lnb = lnb_ref[0]                   # [F]
+    ws = ws_ref[:]                     # [F, 1]
+    bs = bs_ref[0, 0]
+
+    ls = []
+    ss = []
+    for m in range(num_modes):
+        x = mid_ref[0, m]              # [TN, F]
+        z32 = jax.lax.dot_general(x, w2_ref[m], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        z = z32.astype(cdt) + b2_ref[m][None, :]
+        z32 = z.astype(jnp.float32)
+        mean = jnp.mean(z32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(z32), axis=-1, keepdims=True) \
+            - jnp.square(mean)
+        inv = jax.lax.rsqrt(var + ln_eps)
+        l = (z - mean.astype(cdt)) * inv.astype(cdt) * scale[None, :] \
+            + lnb[None, :]             # [TN, F] cdt
+        s = jax.lax.dot_general(l, ws, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + bs
+        ls.append(l)
+        ss.append(s)                   # [TN, 1] fp32
+
+    smax = functools.reduce(jnp.maximum, ss)
+    es = [jnp.exp(s - smax) for s in ss]
+    denom = functools.reduce(jnp.add, es)
+    acc = functools.reduce(
+        jnp.add, [e * l.astype(jnp.float32) for e, l in zip(es, ls)])
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def fused_private_output_pool(mid: jnp.ndarray, w2: jnp.ndarray,
+                              b2: jnp.ndarray, ln_scale: jnp.ndarray,
+                              ln_bias: jnp.ndarray, ws: jnp.ndarray,
+                              bs: jnp.ndarray, *, ln_eps: float = 1e-12,
+                              tile_n: int = 256,
+                              interpret: Optional[bool] = None
+                              ) -> jnp.ndarray:
+    """mid: [B, M, N, F]; w2: [M, F, F]; b2: [M, F]; ln_scale/ln_bias: [F];
+    ws: [F, 1]; bs: [1]. Returns the pooled [B, N, F] in mid.dtype."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, m, n, f = mid.shape
+    dt = mid.dtype
+    tile_n = min(tile_n, max(128, ((n + 127) // 128) * 128))
+    n_pad = ((n + tile_n - 1) // tile_n) * tile_n
+    if n_pad != n:
+        mid = jnp.pad(mid, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    const = lambda *_: (0, 0)
+    const3 = lambda *_: (0, 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_epilogue_kernel, num_modes=m, ln_eps=ln_eps),
+        grid=(b, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, m, tile_n, f), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((m, f, f), const3),
+            pl.BlockSpec((m, f), const),
+            pl.BlockSpec((1, f), const),
+            pl.BlockSpec((1, f), const),
+            pl.BlockSpec((f, 1), const),
+            pl.BlockSpec((1, 1), const),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, f), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, f), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(mid, w2.astype(dt), b2.astype(dt), ln_scale.astype(dt)[None],
+      ln_bias.astype(dt)[None], ws.astype(dt), bs.astype(jnp.float32)[None])
+    return out[:, :n]

@@ -86,6 +86,11 @@ class TransLayerSpec:
     # exact matmul reassociations exploiting A << N in the squeezed layer
     # (see ExpandedFeatTrans.__call__); same math, fewer FLOPs.
     reassociate: bool = True
+    # Pallas fused private-output + LayerNorm + softmax mode-pool over the
+    # [B, M, N, F] mid tensor (kernels/expansion_epilogue.py). Inference-only
+    # (no VJP); engages when deterministic and the [M, F, F] output weight
+    # fits the kernel's VMEM budget, else the exact XLA path runs.
+    use_fused_epilogue: bool = False
     ln_eps: float = 1e-12
     dtype: Any = jnp.float32
 
@@ -366,7 +371,36 @@ class ExpandedFeatTrans(nn.Module):
         private output (residual dropped per the reference quirk), pool."""
         mid = self.intermediate(mid_pre, deterministic=deterministic,
                                 stage="post")
-        last = self.output(mid, None, deterministic=deterministic)
+        return self._output_and_pool(mid, None, deterministic)
+
+    def _fused_epilogue_ok(self, deterministic: bool) -> bool:
+        s = self.spec
+        if not (s.use_fused_epilogue and deterministic
+                and not self.is_initializing()
+                and s.has_FFN and s.trans_output_type == "private"
+                and not s.fix_private_output_residual
+                and s.pool_modes_feat == "softmax"):
+            return False
+        from ..kernels.expansion_epilogue import supports
+        itemsize = jnp.dtype(s.dtype).itemsize
+        return supports(s.num_modes, s.feat_dim, itemsize)
+
+    def _output_and_pool(self, mid: jnp.ndarray, shortcut,
+                         deterministic: bool) -> jnp.ndarray:
+        """output block + mode pooling; takes the fused Pallas epilogue
+        (one HBM pass) when the spec/phase allow it."""
+        s = self.spec
+        if self._fused_epilogue_ok(deterministic):
+            from ..kernels.expansion_epilogue import fused_private_output_pool
+            ov = self.output.variables["params"]
+            pv = self.feat_softaggr.variables["params"]["feat2score"]
+            return fused_private_output_pool(
+                mid, ov["group_linear"]["kernel"],
+                ov["group_linear"]["bias"],
+                ov["resout_norm_layer"]["scale"],
+                ov["resout_norm_layer"]["bias"],
+                pv["kernel"], pv["bias"], ln_eps=s.ln_eps)
+        last = self.output(mid, shortcut, deterministic=deterministic)
         return self._pool_modes(last)
 
     def __call__(self, input_feat: jnp.ndarray,
@@ -408,8 +442,7 @@ class ExpandedFeatTrans(nn.Module):
                 v = self.compute_v(input_feat)
                 mid = self.intermediate(v, deterministic=deterministic,
                                         probs=attention_probs)
-                last = self.output(mid, None, deterministic=deterministic)
-                return self._pool_modes(last)
+                return self._output_and_pool(mid, None, deterministic)
             else:
                 v = self.compute_v(input_feat)
                 # Fuse values: [B,M,U1,U2] @ [B,M,U2,F] -> [B,M,U1,F].
@@ -426,8 +459,7 @@ class ExpandedFeatTrans(nn.Module):
 
         mid = self.intermediate(fused, deterministic=deterministic) \
             if self.intermediate is not None else _gelu_exact(fused)
-        last = self.output(mid, fused, deterministic=deterministic)
-        return self._pool_modes(last)
+        return self._output_and_pool(mid, fused, deterministic)
 
     def _pool_modes(self, last: jnp.ndarray) -> jnp.ndarray:
         s = self.spec

@@ -50,6 +50,7 @@ def layer_spec_from_config(cfg: TransformerConfig, layer_i: int) -> TransLayerSp
         ablate_multihead=cfg.ablate_multihead,
         fix_private_output_residual=cfg.fix_private_output_residual,
         use_fused_attention=cfg.use_fused_attention,
+        use_fused_epilogue=getattr(cfg, "use_fused_epilogue", False),
         ln_eps=cfg.ln_eps,
         dtype=cfg.dtype,
     )

@@ -117,3 +117,62 @@ def test_flash_backward_clamp_zero_gradient():
         a, b, c))(Q, K, V)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
                                rtol=2e-4, atol=2e-5)
+
+
+def _epilogue_xla_oracle(mid, w2, b2, scale, lnb, ws, bs, eps):
+    """The exact module math (MMPrivateOutput private linear, no residual;
+    FastLayerNorm-in-fp32 here; LearnedSoftAggregate pool), fp32."""
+    y = jnp.einsum("bmuf,mfg->bmug", mid, w2) + b2[None, :, None, :]
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y), axis=-1, keepdims=True) - jnp.square(mean)
+    l = (y - mean) * jax.lax.rsqrt(var + eps) * scale + lnb
+    s = jnp.einsum("bmuf,fo->bmuo", l, ws) + bs
+    p = jax.nn.softmax(s, axis=1)
+    return jnp.sum(l * p, axis=1)
+
+
+@pytest.mark.parametrize("b,m,n,f,tile", [
+    (2, 4, 300, 256, 128),        # N padding
+    (1, 2, 512, 384, 256),
+])
+def test_fused_expansion_epilogue_matches_oracle(b, m, n, f, tile):
+    from segtran_tpu.kernels.expansion_epilogue import (
+        fused_private_output_pool)
+    rng = np.random.RandomState(3)
+    mid = jnp.asarray(rng.randn(b, m, n, f).astype(np.float32) * 0.3)
+    w2 = jnp.asarray(rng.randn(m, f, f).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(m, f).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.rand(f).astype(np.float32) + 0.5)
+    lnb = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    ws = jnp.asarray(rng.randn(f, 1).astype(np.float32) * 0.2)
+    bs = jnp.asarray(rng.randn(1).astype(np.float32))
+    out = fused_private_output_pool(mid, w2, b2, scale, lnb, ws, bs,
+                                    ln_eps=1e-12, tile_n=tile,
+                                    interpret=True)
+    ref = _epilogue_xla_oracle(mid, w2, b2, scale, lnb, ws, bs, 1e-12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_epilogue_module_path_matches_xla():
+    """SqueezedAttFeatTrans with use_fused_epilogue on vs off (same params,
+    deterministic): the module-level wiring incl. the bound-variables param
+    access must reproduce the exact XLA output block + pooling."""
+    import dataclasses
+    from segtran_tpu.nn.attention import SqueezedAttFeatTrans, TransLayerSpec
+
+    spec = TransLayerSpec(in_feat_dim=256, feat_dim=256, num_modes=4,
+                          attention_probs_dropout_prob=0.0,
+                          hidden_dropout_prob=0.0, dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 64, 256).astype(np.float32) * 0.2)
+    mod = SqueezedAttFeatTrans(spec, num_attractors=16)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, x,
+                         deterministic=True)
+    ref = mod.apply(variables, x, deterministic=True)
+    fast = SqueezedAttFeatTrans(
+        dataclasses.replace(spec, use_fused_epilogue=True),
+        num_attractors=16)
+    out = fast.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-6)
