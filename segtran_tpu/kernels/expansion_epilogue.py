@@ -39,9 +39,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# [M, F, F] resident-weight budget (bytes). 8 MB leaves room for the mid /
-# out tiles + fp32 temporaries in ~16 MB VMEM.
-W2_VMEM_BUDGET = 8 * 1024 * 1024
+# [M, F, F] resident-weight budget (bytes). 9 MB leaves room for the mid /
+# out tiles + fp32 temporaries in ~16 MB VMEM (tile_n shrinks to 128 at
+# F >= 1024, see fused_private_output_pool) and admits the BraTS flagship's
+# F=1024 x 4-mode layer (8.4 MB bf16).
+W2_VMEM_BUDGET = 9 * 1024 * 1024
 
 
 def supports(num_modes: int, feat_dim: int, itemsize: int) -> bool:
@@ -87,7 +89,7 @@ def fused_private_output_pool(mid: jnp.ndarray, w2: jnp.ndarray,
                               b2: jnp.ndarray, ln_scale: jnp.ndarray,
                               ln_bias: jnp.ndarray, ws: jnp.ndarray,
                               bs: jnp.ndarray, *, ln_eps: float = 1e-12,
-                              tile_n: int = 256,
+                              tile_n: Optional[int] = None,
                               interpret: Optional[bool] = None
                               ) -> jnp.ndarray:
     """mid: [B, M, N, F]; w2: [M, F, F]; b2: [M, F]; ln_scale/ln_bias: [F];
@@ -96,6 +98,8 @@ def fused_private_output_pool(mid: jnp.ndarray, w2: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
     b, m, n, f = mid.shape
     dt = mid.dtype
+    if tile_n is None:
+        tile_n = 128 if f >= 1024 else 256
     tile_n = min(tile_n, max(128, ((n + 127) // 128) * 128))
     n_pad = ((n + tile_n - 1) // tile_n) * tile_n
     if n_pad != n:
