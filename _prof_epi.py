@@ -1,0 +1,62 @@
+"""On-chip A/B of the round-3 encoder fast paths on the flagship fundus
+forward: baseline vs fused epilogue vs fused attention vs both.
+
+Plain-loop timing with trailing block_until_ready (valid: workloads >> the
+~30 ms D2H floor, see TODO.md round-2 methodology note).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+from segtran_tpu.utils.cache import enable_compilation_cache
+from segtran_tpu.configs import Segtran2dConfig
+from segtran_tpu.models import Segtran2d
+from segtran_tpu.nn.init import init_with_reference_schemes
+
+enable_compilation_cache()
+B = 64
+
+
+def timeit(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(3):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def build(**kw):
+    cfg = Segtran2dConfig(
+        backbone_type="eff-b4", num_classes=3,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        dtype=jnp.bfloat16, **kw,
+    ).derive(translayer_compress_ratios=(1.0, 1.0, 2.0, 2.0))
+    return Segtran2d(cfg)
+
+
+x = jnp.zeros((B, 288, 288, 3), jnp.float32)
+base = build()
+params, rest = init_with_reference_schemes(
+    base, {"params": jax.random.PRNGKey(0)}, x[:1])
+variables = {"params": params, **rest}
+
+variants = {
+    "baseline": build(),
+    "epilogue": build(use_fused_epilogue=True),
+    "fusedattn": build(use_fused_attention=True),
+    "both": build(use_fused_attention=True, use_fused_epilogue=True),
+}
+outs = {}
+for name, model in variants.items():
+    fwd = jax.jit(lambda v, x, m=model: m.apply(v, x, train=False))
+    dt = timeit(fwd, variables, x)
+    outs[name] = jnp.mean(fwd(variables, x).astype(jnp.float32))
+    print(f"{name:10s}: {dt*1e3:7.2f} ms  -> {B/dt:7.1f} imgs/s", flush=True)
+for name, o in outs.items():
+    d = abs(float(o) - float(outs["baseline"]))
+    print(f"{name:10s} mean-logit |delta| vs baseline: {d:.3e}")

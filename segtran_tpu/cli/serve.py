@@ -78,6 +78,9 @@ def build_argparser():
     p.add_argument("--stats", dest="stats_json", default=None)
     p.add_argument("--gray", dest="gray_alpha", type=float, default=0.5)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fusedepi", dest="use_fused_epilogue",
+                   action="store_true",
+                   help="Pallas fused output+LN+mode-pool epilogue")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true")
     p.add_argument("--scanblocks", dest="scan_blocks", action="store_true")

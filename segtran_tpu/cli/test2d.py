@@ -88,6 +88,9 @@ def build_argparser():
                         " (per-block checkpoints adapt on load)")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true")
+    p.add_argument("--fusedepi", dest="use_fused_epilogue",
+                   action="store_true",
+                   help="Pallas fused output+LN+mode-pool epilogue")
     p.add_argument("--polyformer", dest="polyformer_mode", default=None,
                    choices=[None, "source", "target"])
     p.add_argument("--testinterp", dest="test_interp", default=None,

@@ -118,6 +118,9 @@ def build_argparser():
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fused", dest="use_fused_attention",
                    action="store_true")
+    p.add_argument("--fusedepi", dest="use_fused_epilogue",
+                   action="store_true",
+                   help="Pallas fused output+LN+mode-pool epilogue")
     p.add_argument("--verbose", dest="verbose_output", action="store_true",
                    help="log per-volume metrics (reference test3d.py:44)")
     p.add_argument("--flop", dest="calc_flop", action="store_true",
@@ -230,6 +233,7 @@ def main(argv=None):
             orig_in_channels=task["orig_in_channels"],
             hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
             use_fused_attention=args.use_fused_attention,
+            use_fused_epilogue=getattr(args, "use_fused_epilogue", False),
             dtype=dtype).derive(translayer_compress_ratios=compress)
         if args.segtran_type == "3d":
             model = Segtran3d(cfg)

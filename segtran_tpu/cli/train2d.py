@@ -244,6 +244,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    action="store_true",
                    help="Pallas flash attention forward+backward in the "
                         "squeezed transformer (wins for large token counts)")
+    p.add_argument("--fusedepi", dest="use_fused_epilogue",
+                   action="store_true",
+                   help="Pallas fused private-output+LN+mode-pool epilogue "
+                        "(inference-only fast path; inert while training)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (recommended on TPU)")
     p.add_argument("--remat", action="store_true",
@@ -297,6 +301,7 @@ def build_model_and_config(args, task):
             has_FFN_in_squeeze=getattr(args, "has_FFN_in_squeeze", False),
             attn_diag=getattr(args, "attn_diag_cycles", 0) > 0,
             use_fused_attention=getattr(args, "use_fused_attention", False),
+            use_fused_epilogue=getattr(args, "use_fused_epilogue", False),
             remat=getattr(args, "remat", False),
             scan_blocks=getattr(args, "scan_blocks", False),
             pos_code_type=args.pos_code_type,

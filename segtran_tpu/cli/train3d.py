@@ -265,6 +265,7 @@ def main(argv=None):
             use_attn_consist_loss=args.use_attn_consist_loss,
             remat=getattr(args, "remat", False),
             use_fused_attention=getattr(args, "use_fused_attention", False),
+            use_fused_epilogue=getattr(args, "use_fused_epilogue", False),
             dtype=dtype,
         ).derive(translayer_compress_ratios=compress)
         model = (Segtran3d(cfg) if args.segtran_type == "3d"
