@@ -50,6 +50,42 @@ def supports(num_modes: int, feat_dim: int, itemsize: int) -> bool:
     return num_modes * feat_dim * feat_dim * itemsize <= W2_VMEM_BUDGET
 
 
+def supports_full(num_modes: int, num_keys: int, feat_dim: int,
+                  itemsize: int) -> bool:
+    """Gate for fused_mid_output_pool: W2 [M,F,F] plus the per-batch V.W1
+    operand [M,A,F] must both sit resident in VMEM."""
+    resident = (num_modes * feat_dim * feat_dim
+                + num_modes * num_keys * feat_dim) * itemsize
+    return resident <= W2_VMEM_BUDGET
+
+
+def _ln_score_pool(ls, ss, o_ref):
+    """Shared tail: softmax over modes (fp32) + weighted sum; ls: per-mode
+    [TN, F] (compute dtype), ss: per-mode [TN, 1] fp32 scores."""
+    smax = functools.reduce(jnp.maximum, ss)
+    es = [jnp.exp(s - smax) for s in ss]
+    denom = functools.reduce(jnp.add, es)
+    acc = functools.reduce(
+        jnp.add, [e * l.astype(jnp.float32) for e, l in zip(es, ls)])
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+def _out_ln_score(z32, b2_m, scale, lnb, ws, bs, cdt, ln_eps):
+    """Shared per-mode tail from the fp32 output-linear accumulator:
+    bias-add in cdt, LayerNorm (fp32 stats), feat2score."""
+    z = z32.astype(cdt) + b2_m[None, :]
+    z32 = z.astype(jnp.float32)
+    mean = jnp.mean(z32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(z32), axis=-1, keepdims=True) \
+        - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + ln_eps)
+    l = (z - mean.astype(cdt)) * inv.astype(cdt) * scale[None, :] \
+        + lnb[None, :]                 # [TN, F] cdt
+    s = jax.lax.dot_general(l, ws, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bs
+    return l, s
+
+
 def _epilogue_kernel(mid_ref, w2_ref, b2_ref, scale_ref, lnb_ref, ws_ref,
                      bs_ref, o_ref, *, num_modes: int, ln_eps: float):
     cdt = mid_ref.dtype
@@ -64,25 +100,40 @@ def _epilogue_kernel(mid_ref, w2_ref, b2_ref, scale_ref, lnb_ref, ws_ref,
         x = mid_ref[0, m]              # [TN, F]
         z32 = jax.lax.dot_general(x, w2_ref[m], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        z = z32.astype(cdt) + b2_ref[m][None, :]
-        z32 = z.astype(jnp.float32)
-        mean = jnp.mean(z32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(z32), axis=-1, keepdims=True) \
-            - jnp.square(mean)
-        inv = jax.lax.rsqrt(var + ln_eps)
-        l = (z - mean.astype(cdt)) * inv.astype(cdt) * scale[None, :] \
-            + lnb[None, :]             # [TN, F] cdt
-        s = jax.lax.dot_general(l, ws, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32) + bs
+        l, s = _out_ln_score(z32, b2_ref[m], scale, lnb, ws, bs, cdt, ln_eps)
         ls.append(l)
         ss.append(s)                   # [TN, 1] fp32
+    _ln_score_pool(ls, ss, o_ref)
 
-    smax = functools.reduce(jnp.maximum, ss)
-    es = [jnp.exp(s - smax) for s in ss]
-    denom = functools.reduce(jnp.add, es)
-    acc = functools.reduce(
-        jnp.add, [e * l.astype(jnp.float32) for e, l in zip(es, ls)])
-    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+def _mid_epilogue_kernel(p_ref, vw1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
+                         lnb_ref, ws_ref, bs_ref, o_ref, *, num_modes: int,
+                         ln_eps: float):
+    """Full fusion: mid_m = gelu(P_m @ (V W1)_m + b1) computed in-kernel, so
+    the [B, M, N, F] mid tensor never exists in HBM -- the kernel reads the
+    [B, M, N, A] attention probs (A = num_attractors << F) instead."""
+    cdt = o_ref.dtype
+    scale = scale_ref[0]
+    lnb = lnb_ref[0]
+    b1 = b1_ref[0]
+    ws = ws_ref[:]
+    bs = bs_ref[0, 0]
+
+    ls = []
+    ss = []
+    for m in range(num_modes):
+        p = p_ref[0, m].astype(cdt)    # [TN, A]
+        mid32 = jax.lax.dot_general(p, vw1_ref[0, m], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        # XLA-path numerics (MMSharedMid): round to compute dtype, bias-add,
+        # exact (erf) gelu -- attention.py _gelu_exact.
+        mid = jax.nn.gelu(mid32.astype(cdt) + b1[None, :], approximate=False)
+        z32 = jax.lax.dot_general(mid, w2_ref[m], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        l, s = _out_ln_score(z32, b2_ref[m], scale, lnb, ws, bs, cdt, ln_eps)
+        ls.append(l)
+        ss.append(s)
+    _ln_score_pool(ls, ss, o_ref)
 
 
 def fused_private_output_pool(mid: jnp.ndarray, w2: jnp.ndarray,
@@ -126,4 +177,62 @@ def fused_private_output_pool(mid: jnp.ndarray, w2: jnp.ndarray,
         interpret=interpret,
     )(mid, w2.astype(dt), b2.astype(dt), ln_scale.astype(dt)[None],
       ln_bias.astype(dt)[None], ws.astype(dt), bs.astype(jnp.float32)[None])
+    return out[:, :n]
+
+
+def fused_mid_output_pool(probs: jnp.ndarray, vw1: jnp.ndarray,
+                          b1: jnp.ndarray, w2: jnp.ndarray,
+                          b2: jnp.ndarray, ln_scale: jnp.ndarray,
+                          ln_bias: jnp.ndarray, ws: jnp.ndarray,
+                          bs: jnp.ndarray, *, ln_eps: float = 1e-12,
+                          tile_n: Optional[int] = None,
+                          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Full fusion of the attractor-out expansion tail: probs [B, M, N, A],
+    vw1 = (V W1) [B, M, A, F] (shared-mid premul, attention.py
+    apply_mid_premul), b1 [F] (shared-mid bias); remaining args as
+    fused_private_output_pool. Computes mid = gelu(probs @ vw1 + b1) per tile
+    in VMEM, so HBM sees only one probs read + one pooled write -- at the
+    flagship's F=896 layer that is ~3.5x less epilogue read traffic than
+    streaming the mid tensor, on top of skipping the mid write entirely."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, m, n, a = probs.shape
+    f = vw1.shape[-1]
+    dt = vw1.dtype
+    if tile_n is None:
+        tile_n = 128 if f >= 768 else 256
+    tile_n = min(tile_n, max(128, ((n + 127) // 128) * 128))
+    n_pad = ((n + tile_n - 1) // tile_n) * tile_n
+    if n_pad != n:
+        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    a_pad = ((a + 127) // 128) * 128
+    if a_pad != a:
+        # zero-pad the contraction axis (exact)
+        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, 0), (0, a_pad - a)))
+        vw1 = jnp.pad(vw1, ((0, 0), (0, 0), (0, a_pad - a), (0, 0)))
+
+    const = lambda *_: (0, 0)
+    const3 = lambda *_: (0, 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_mid_epilogue_kernel, num_modes=m, ln_eps=ln_eps),
+        grid=(b, n_pad // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, m, tile_n, a_pad), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, m, a_pad, f), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, f), const),
+            pl.BlockSpec((m, f, f), const3),
+            pl.BlockSpec((m, f), const),
+            pl.BlockSpec((1, f), const),
+            pl.BlockSpec((1, f), const),
+            pl.BlockSpec((f, 1), const),
+            pl.BlockSpec((1, 1), const),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, f), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, f), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(probs, vw1, b1.astype(dt)[None], w2.astype(dt), b2.astype(dt),
+      ln_scale.astype(dt)[None], ln_bias.astype(dt)[None], ws.astype(dt),
+      bs.astype(jnp.float32)[None])
     return out[:, :n]

@@ -199,7 +199,7 @@ def mbconv_front(x: jnp.ndarray, w_exp: Optional[jnp.ndarray],
         kern,
         grid=(b, nh),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             rep(*(cin_pad, cexp)),
             rep(cexp), rep(cexp),
             rep(*(kernel, kernel, cexp)),

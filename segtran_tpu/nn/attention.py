@@ -385,6 +385,20 @@ class ExpandedFeatTrans(nn.Module):
         itemsize = jnp.dtype(s.dtype).itemsize
         return supports(s.num_modes, s.feat_dim, itemsize)
 
+    def _fused_full_ok(self, deterministic: bool, num_keys: int) -> bool:
+        """Gate for the fully fused P->mid->output->pool kernel (only valid
+        on the shared-mid reassociation branch that calls it)."""
+        s = self.spec
+        if not (s.use_fused_epilogue and deterministic
+                and not self.is_initializing()
+                and s.trans_output_type == "private"
+                and not s.fix_private_output_residual
+                and s.pool_modes_feat == "softmax"):
+            return False
+        from ..kernels.expansion_epilogue import supports_full
+        itemsize = jnp.dtype(s.dtype).itemsize
+        return supports_full(s.num_modes, num_keys, s.feat_dim, itemsize)
+
     def _output_and_pool(self, mid: jnp.ndarray, shortcut,
                          deterministic: bool) -> jnp.ndarray:
         """output block + mode pooling; takes the fused Pallas epilogue
@@ -440,6 +454,24 @@ class ExpandedFeatTrans(nn.Module):
                 # because MMPrivateOutput drops its residual (the reference
                 # quirk), so `fused` is never consumed downstream.
                 v = self.compute_v(input_feat)
+                if self._fused_full_ok(deterministic, u2):
+                    # Full Pallas fusion: mid is computed tile-by-tile inside
+                    # the epilogue kernel from P and (V W1) -- the [B,M,N,F]
+                    # mid tensor never touches HBM.
+                    from ..kernels.expansion_epilogue import \
+                        fused_mid_output_pool
+                    vw1 = self.intermediate(v, stage="premul")
+                    b1 = self.intermediate.variables[
+                        "params"]["shared_linear"]["bias"]
+                    ov = self.output.variables["params"]
+                    pv = self.feat_softaggr.variables["params"]["feat2score"]
+                    return fused_mid_output_pool(
+                        attention_probs, vw1, b1,
+                        ov["group_linear"]["kernel"],
+                        ov["group_linear"]["bias"],
+                        ov["resout_norm_layer"]["scale"],
+                        ov["resout_norm_layer"]["bias"],
+                        pv["kernel"], pv["bias"], ln_eps=s.ln_eps)
                 mid = self.intermediate(v, deterministic=deterministic,
                                         probs=attention_probs)
                 return self._output_and_pool(mid, None, deterministic)

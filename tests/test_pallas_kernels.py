@@ -154,16 +154,49 @@ def test_fused_expansion_epilogue_matches_oracle(b, m, n, f, tile):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_fused_epilogue_module_path_matches_xla():
+@pytest.mark.parametrize("b,m,n,a,f,tile", [
+    (2, 4, 300, 48, 256, 128),    # N + attractor-axis padding
+    (1, 2, 512, 128, 384, 256),
+])
+def test_fused_mid_epilogue_matches_oracle(b, m, n, a, f, tile):
+    """fused_mid_output_pool (full fusion: gelu(P@VW1+b1) computed in-kernel)
+    vs the plain-XLA chain mid = gelu(P@VW1+b1) -> epilogue oracle."""
+    from segtran_tpu.kernels.expansion_epilogue import fused_mid_output_pool
+    rng = np.random.RandomState(7)
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, m, n, a).astype(np.float32)), axis=-1)
+    vw1 = jnp.asarray(rng.randn(b, m, a, f).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(m, f, f).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(m, f).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.rand(f).astype(np.float32) + 0.5)
+    lnb = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    ws = jnp.asarray(rng.randn(f, 1).astype(np.float32) * 0.2)
+    bs = jnp.asarray(rng.randn(1).astype(np.float32))
+    out = fused_mid_output_pool(probs, vw1, b1, w2, b2, scale, lnb, ws, bs,
+                                ln_eps=1e-12, tile_n=tile, interpret=True)
+    mid = jax.nn.gelu(jnp.einsum("bmna,bmaf->bmnf", probs, vw1) + b1,
+                      approximate=False)
+    ref = _epilogue_xla_oracle(mid, w2, b2, scale, lnb, ws, bs, 1e-12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mid_type", ["shared", "private"])
+def test_fused_epilogue_module_path_matches_xla(mid_type):
     """SqueezedAttFeatTrans with use_fused_epilogue on vs off (same params,
     deterministic): the module-level wiring incl. the bound-variables param
-    access must reproduce the exact XLA output block + pooling."""
+    access must reproduce the exact XLA output block + pooling. mid_type
+    'shared' exercises the FULL fusion (fused_mid_output_pool on the
+    reassociated attractor-out branch); 'private' the mid-streaming epilogue
+    (fused_private_output_pool via _output_and_pool)."""
     import dataclasses
     from segtran_tpu.nn.attention import SqueezedAttFeatTrans, TransLayerSpec
 
     spec = TransLayerSpec(in_feat_dim=256, feat_dim=256, num_modes=4,
                           attention_probs_dropout_prob=0.0,
-                          hidden_dropout_prob=0.0, dtype=jnp.float32)
+                          hidden_dropout_prob=0.0, mid_type=mid_type,
+                          dtype=jnp.float32)
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.randn(2, 64, 256).astype(np.float32) * 0.2)
     mod = SqueezedAttFeatTrans(spec, num_attractors=16)
