@@ -60,3 +60,34 @@ for name, model in variants.items():
 for name, o in outs.items():
     d = abs(float(o) - float(outs["baseline"]))
     print(f"{name:10s} mean-logit |delta| vs baseline: {d:.3e}")
+
+# ---- 3D: BraTS whole-volume (bench.py config), epilogue on/off ----------
+from segtran_tpu.configs import Segtran3dConfig
+from segtran_tpu.models.segtran3d import Segtran3d
+
+VOL = (160, 192, 144)
+
+
+def build3d(**kw):
+    return Segtran3d(Segtran3dConfig(
+        num_classes=4, num_attractors=1024, orig_in_channels=4,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        use_fused_attention=True, dtype=jnp.bfloat16, **kw,
+    ).derive(translayer_compress_ratios=(1.0, 1.0)))
+
+
+x3 = jnp.zeros((1, *VOL, 4), jnp.float32)
+m3 = build3d()
+p3, r3 = init_with_reference_schemes(
+    m3, {"params": jax.random.PRNGKey(0)}, x3)
+v3 = {"params": p3, **r3}
+outs3 = {}
+for name, model in {"3d-base": build3d(),
+                    "3d-epilogue": build3d(use_fused_epilogue=True)}.items():
+    fwd = jax.jit(lambda v, x, m=model: m.apply(v, x, train=False))
+    dt = timeit(fwd, v3, x3, iters=10)
+    outs3[name] = jnp.mean(fwd(v3, x3).astype(jnp.float32))
+    mvox = VOL[0] * VOL[1] * VOL[2] / dt / 1e6
+    print(f"{name:12s}: {dt*1e3:7.2f} ms  -> {mvox:6.1f} Mvox/s", flush=True)
+print("3d mean-logit |delta|:",
+      abs(float(outs3["3d-epilogue"]) - float(outs3["3d-base"])))

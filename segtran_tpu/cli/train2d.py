@@ -359,6 +359,8 @@ def build_model_and_config(args, task):
         return SETR_PUP(num_classes=nc, dtype=dtype), None
     if args.net == "deeplabv3":
         from ..models.deeplab import DeepLabV3
+        bb = args.backbone_type if args.backbone_type.startswith("resnet") \
+            else "resnet50"
         return DeepLabV3(num_classes=nc, backbone=bb, dtype=dtype), None
     if args.net in ("deeplabv3plus", "deeplab-smp"):
         from ..models.deeplab import DeepLabV3Plus
@@ -684,11 +686,7 @@ def main(argv=None):
     # / JAX_NUM_PROCESSES / JAX_PROCESS_ID (README 'Multi-host training';
     # replaces reference dist.init_process_group, train2d.py:796-801)
     from ..parallel.multihost import init_multihost
-    topo = init_multihost()
-    if topo["process_count"] > 1:
-        print(f"multi-host: rank {topo['process_index']}/"
-              f"{topo['process_count']}, {topo['local_devices']} local / "
-              f"{topo['global_devices']} global devices")
+    init_multihost(verbose=True)
     if args.tensor_parallel > 1:
         # fail before the multi-minute model init
         _n = args.ndevices if args.ndevices > 0 else len(jax.devices())

@@ -154,11 +154,7 @@ def main(argv=None):
     # / JAX_NUM_PROCESSES / JAX_PROCESS_ID (README 'Multi-host training';
     # replaces reference dist.init_process_group, train2d.py:796-801)
     from ..parallel.multihost import init_multihost
-    topo = init_multihost()
-    if topo["process_count"] > 1:
-        print(f"multi-host: rank {topo['process_index']}/"
-              f"{topo['process_count']}, {topo['local_devices']} local / "
-              f"{topo['global_devices']} global devices")
+    init_multihost(verbose=True)
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_patch_size", args.orig_patch_size),
                             ("input_patch_size", args.input_patch_size)):

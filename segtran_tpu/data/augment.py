@@ -157,42 +157,41 @@ def _rand_affine(key, image, mask, rotate_deg: float, shear_deg: float):
     return img_out, msk_out
 
 
-def _axis_fit_index(src_size: int, tgt_size: int, off, coords):
-    """Source index along one axis for PadToFixedSize+CropToFixedSize
-    (imgaug defaults: uniform random position). Returns (index, valid)."""
-    if src_size >= tgt_size:        # crop: offset in [0, src-tgt]
-        idx = coords + off
-        return idx, jnp.ones(coords.shape, bool)
-    idx = coords - off              # pad: offset in [0, tgt-src]
-    return jnp.clip(idx, 0, src_size - 1), (idx >= 0) & (idx < src_size)
-
-
 def _rot90_nonsquare(key, k, image, mask):
-    """Rot90 for H != W: rotate (shape [W, H]) then imgaug-style
-    PadToFixedSize + CropToFixedSize back to [H, W] at uniform random
-    positions (reference train_util.py:41-56: the fixed-size pad/crop pair
-    restores the target size after the shape-changing Rot90)."""
+    """Rot90 for H != W with imgaug's DEFAULT keep_size=True semantics
+    (reference train_util.py:41 passes no keep_size, so the rotated [W, H]
+    canvas is resized back to [H, W] -- aspect-distorting -- which makes the
+    subsequent PadToFixedSize/CropToFixedSize pair no-ops): bilinear for the
+    image, cv2-INTER_NEAREST for the segmentation map (imgaug resizes
+    segmaps nearest). imgaug picks INTER_AREA when an axis shrinks; for this
+    augmentation's distribution the bilinear/area difference is immaterial
+    and bilinear (resize_linear, torch/cv2 half-pixel grid) is used. `key`
+    is unused (keep_size resizing is deterministic) but kept so call-site
+    RNG splitting is stable across configs."""
+    del key
+    from ..ops.resize import resize_linear
     h, w = image.shape[0], image.shape[1]
-    koy, kox = jax.random.split(key)
-    # rotated canvas for k in {1, 3} is [W, H]: rows come from W, cols from H
-    oy = jax.random.randint(koy, (), 0, abs(w - h) + 1)
-    ox = jax.random.randint(kox, (), 0, abs(h - w) + 1)
-    ys, yv = _axis_fit_index(w, h, oy, jnp.arange(h))
-    xs, xv = _axis_fit_index(h, w, ox, jnp.arange(w))
-    valid = (yv[:, None] & xv[None, :])[..., None]
+    # cv2 INTER_NEAREST on [W, H] -> [H, W]: src = floor(dst * src/dst)
+    ys = jnp.minimum((jnp.arange(h) * w) // h, w - 1)
+    xs = jnp.minimum((jnp.arange(w) * h) // w, h - 1)
 
-    def odd(a, kk):
+    def odd_img(a, kk):
         rot = jnp.rot90(a, kk, (0, 1))          # [W, H, C]
-        return rot[ys][:, xs] * valid.astype(a.dtype)
+        return resize_linear(rot[None], (h, w))[0].astype(a.dtype)
 
-    def branches(a):
-        return [lambda a=a: a,
-                lambda a=a: odd(a, 1),
-                lambda a=a: jnp.rot90(a, 2, (0, 1)),
-                lambda a=a: odd(a, 3)]
+    def odd_msk(a, kk):
+        rot = jnp.rot90(a, kk, (0, 1))
+        return rot[ys][:, xs]
 
-    return (jax.lax.switch(k, branches(image)),
-            jax.lax.switch(k, branches(mask)))
+    img_branches = [lambda: image,
+                    lambda: odd_img(image, 1),
+                    lambda: jnp.rot90(image, 2, (0, 1)),
+                    lambda: odd_img(image, 3)]
+    msk_branches = [lambda: mask,
+                    lambda: odd_msk(mask, 1),
+                    lambda: jnp.rot90(mask, 2, (0, 1)),
+                    lambda: odd_msk(mask, 3)]
+    return jax.lax.switch(k, img_branches), jax.lax.switch(k, msk_branches)
 
 
 def _color_jitter(key, image):

@@ -76,8 +76,10 @@ def _out_ln_score(z32, b2_m, scale, lnb, ws, bs, cdt, ln_eps):
     z = z32.astype(cdt) + b2_m[None, :]
     z32 = z.astype(jnp.float32)
     mean = jnp.mean(z32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(z32), axis=-1, keepdims=True) \
-        - jnp.square(mean)
+    # clamped like flax nn.LayerNorm: E[z^2]-mean^2 can round negative for a
+    # near-constant row, and rsqrt(<0) is NaN
+    var = jnp.maximum(0.0, jnp.mean(jnp.square(z32), axis=-1, keepdims=True)
+                      - jnp.square(mean))
     inv = jax.lax.rsqrt(var + ln_eps)
     l = (z - mean.astype(cdt)) * inv.astype(cdt) * scale[None, :] \
         + lnb[None, :]                 # [TN, F] cdt

@@ -33,8 +33,10 @@ class FastLayerNorm(nn.Module):
         f = x.shape[-1]
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) \
-            - jnp.square(mean)
+        # clamp like flax nn.LayerNorm: E[x^2]-mean^2 can round negative for
+        # near-constant rows with a large offset, and rsqrt(<0) is NaN
+        var = jnp.maximum(0.0, jnp.mean(jnp.square(x32), axis=-1,
+                                        keepdims=True) - jnp.square(mean))
         inv = jax.lax.rsqrt(var + self.epsilon)
         dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
         y = (x.astype(dt) - mean.astype(dt)) * inv.astype(dt)

@@ -17,9 +17,11 @@ import jax
 
 def init_multihost(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
-                   process_id: Optional[int] = None) -> dict:
+                   process_id: Optional[int] = None,
+                   verbose: bool = False) -> dict:
     """Initialize cross-host JAX if a multi-process environment is detected.
-    Safe to call on a single host (no-op). Returns topology info."""
+    Safe to call on a single host (no-op). Returns topology info; with
+    ``verbose`` prints the rank/topology line the train CLIs show."""
     env_addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     env_n = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "0"))
     if env_addr and env_n > 1:
@@ -28,12 +30,17 @@ def init_multihost(coordinator_address: Optional[str] = None,
             num_processes=env_n,
             process_id=process_id if process_id is not None
             else int(os.environ.get("JAX_PROCESS_ID", "0")))
-    return {
+    topo = {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+    if verbose and topo["process_count"] > 1:
+        print(f"multi-host: rank {topo['process_index']}/"
+              f"{topo['process_count']}, {topo['local_devices']} local / "
+              f"{topo['global_devices']} global devices")
+    return topo
 
 
 def is_master() -> bool:

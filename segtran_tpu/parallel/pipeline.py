@@ -105,9 +105,9 @@ def make_translayer_stage(cfg) -> Callable:
     homogeneous stage hand-off (pos/mask pass through unchanged). Dropout is
     the only train-mode difference and is layer-0-only in the reference, so
     the pipeline serves inference and deterministic eval paths."""
-    import flax.linen as fnn
     from ..nn.attention import CrossAttFeatTrans, SqueezedAttFeatTrans
     from ..nn.encoder import layer_spec_from_config
+    from ..ops.norm import layer_norm
 
     if len(set(cfg.translayer_dims)) != 1:
         raise ValueError(
@@ -119,9 +119,11 @@ def make_translayer_stage(cfg) -> Callable:
                                      has_FFN_in_squeeze=cfg.has_FFN_in_squeeze)
     else:
         layer = CrossAttFeatTrans(spec)
-    ln_affine = fnn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype)
-    ln_plain = fnn.LayerNorm(epsilon=cfg.ln_eps, use_bias=False,
-                             use_scale=False, dtype=cfg.dtype)
+    # layer_norm (not fnn.LayerNorm) so the bf16 FastLayerNorm path matches
+    # the sequential encoder bit-for-bit (nn/encoder.py:103,118)
+    ln_affine = layer_norm(cfg.dtype, epsilon=cfg.ln_eps)
+    ln_plain = layer_norm(cfg.dtype, epsilon=cfg.ln_eps, use_bias=False,
+                          use_scale=False)
     pos_w = cfg.pos_code_weight if cfg.pos_code_type != "bias" else 0.0
 
     def stage(p, xt):
@@ -193,9 +195,9 @@ def make_hetero_translayer_stage(cfg, stage_shapes, axis: str = "model"
     (nn/encoder.py:99-156). pos_code passes through at full trans_in_dim and
     is prefix-sliced per stage exactly as the encoder does
     (segtran_shared.py:929-932)."""
-    import flax.linen as fnn
     from ..nn.attention import CrossAttFeatTrans, SqueezedAttFeatTrans
     from ..nn.encoder import layer_spec_from_config
+    from ..ops.norm import layer_norm
 
     if cfg.pos_code_type == "bias":
         raise ValueError("pipeline stages do not serve 'bias' pos codes")
@@ -205,8 +207,8 @@ def make_hetero_translayer_stage(cfg, stage_shapes, axis: str = "model"
         raise ValueError(
             f"expected non-increasing translayer dims, got {dims}")
     pos_w = cfg.pos_code_weight
-    ln_plain = fnn.LayerNorm(epsilon=cfg.ln_eps, use_bias=False,
-                             use_scale=False, dtype=cfg.dtype)
+    ln_plain = layer_norm(cfg.dtype, epsilon=cfg.ln_eps, use_bias=False,
+                          use_scale=False)
 
     def make_branch(i):
         spec = layer_spec_from_config(cfg, i)
@@ -216,7 +218,7 @@ def make_hetero_translayer_stage(cfg, stage_shapes, axis: str = "model"
                 has_FFN_in_squeeze=cfg.has_FFN_in_squeeze)
         else:
             layer = CrossAttFeatTrans(spec)
-        ln_affine = fnn.LayerNorm(epsilon=cfg.ln_eps, dtype=cfg.dtype)
+        ln_affine = layer_norm(cfg.dtype, epsilon=cfg.ln_eps)
         d_in = dims[i]
 
         def branch(operand):

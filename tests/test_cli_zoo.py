@@ -25,6 +25,9 @@ def data_root(tmp_path_factory):
     ("nnunet", []),
     ("unet", ["--bb", "resnet18"]),
     ("pranet", []),
+    # regression: deeplabv3's backbone default was only bound in the
+    # transunet/deeplabv3plus branches (UnboundLocalError via the CLI)
+    ("deeplabv3", ["--bb", "resnet18"]),
 ])
 def test_train2d_cli_zoo(net, extra, data_root, tmp_path):
     from segtran_tpu.cli.train2d import main

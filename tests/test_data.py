@@ -86,10 +86,12 @@ def test_augment_affine():
 
 
 def test_augment_rot90_nonsquare():
-    """Non-square rot90 (reference train_util.py:41-56): odd k rotates the
-    [H,W] image to [W,H] then pads/crops back to [H,W]; every output row of
-    the valid region must be a contiguous slice of a rotated input column."""
+    """Non-square rot90 with imgaug's default keep_size=True (reference
+    train_util.py:41): odd k rotates the [H,W] image to [W,H] then RESIZES
+    back to [H,W] (bilinear image / nearest segmap), so no content is
+    cropped and no zero padding appears."""
     from segtran_tpu.data.augment import _rot90_nonsquare
+    from segtran_tpu.ops.resize import resize_linear
     rng = np.random.RandomState(4)
     img = jnp.asarray(rng.rand(24, 40, 3).astype(np.float32))
     msk = jnp.asarray((rng.rand(24, 40, 1) > 0.5).astype(np.float32))
@@ -101,18 +103,20 @@ def test_augment_rot90_nonsquare():
     i180, _ = _rot90_nonsquare(jax.random.PRNGKey(9), jnp.int32(2), img, msk)
     np.testing.assert_allclose(np.asarray(i180),
                                np.asarray(jnp.rot90(img, 2, (0, 1))))
-    # k=1: the [40,24] rotation is cropped vertically (40->24) and padded
-    # horizontally (24->40); nonzero columns must reproduce rot90 content
-    i90, _ = _rot90_nonsquare(jax.random.PRNGKey(9), jnp.int32(1), img, msk)
-    full = np.asarray(jnp.rot90(img, 1, (0, 1)))       # [40, 24, 3]
-    arr = np.asarray(i90)
-    cols = np.where(arr.any(axis=(0, 2)))[0]
-    assert len(cols) == 24 and np.all(np.diff(cols) == 1)
-    sub = arr[:, cols]                                  # [24, 24, 3]
-    # search the vertical crop offset
-    match = any(np.allclose(sub, full[oy:oy + 24]) for oy in range(17))
-    assert match
-    # the whole augment pipeline now runs for non-square inputs
+    # k=1: rotate to [40,24] then resize back to [24,40]
+    i90, m90 = _rot90_nonsquare(jax.random.PRNGKey(9), jnp.int32(1), img, msk)
+    full = jnp.rot90(img, 1, (0, 1))                   # [40, 24, 3]
+    want = resize_linear(full[None], (24, 40))[0]
+    np.testing.assert_allclose(np.asarray(i90), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # mask: every value comes from the rotated mask (nearest -- binary stays
+    # binary, no interpolated grays, no zero-padded bands)
+    assert set(np.unique(np.asarray(m90))) <= {0.0, 1.0}
+    mfull = np.asarray(jnp.rot90(msk, 1, (0, 1)))
+    ys = np.minimum(np.arange(24) * 40 // 24, 39)
+    xs = np.minimum(np.arange(40) * 24 // 40, 23)
+    np.testing.assert_array_equal(np.asarray(m90), mfull[ys][:, xs])
+    # the whole augment pipeline runs for non-square inputs
     cfg = Aug2dConfig(rot90_prob=1.0, mean=(0.5,) * 3, std=(0.5,) * 3)
     a, m = jax.jit(lambda k, i, m: augment_batch_2d(k, i, m, cfg))(
         jax.random.PRNGKey(1), img[None], msk[None])
