@@ -141,6 +141,10 @@ def build_argparser():
                    action="store_true",
                    help="Pallas flash attention forward+backward in the "
                         "squeezed transformer (wins for large token counts)")
+    p.add_argument("--fusedepi", dest="use_fused_epilogue",
+                   action="store_true",
+                   help="Pallas fused output+LN+mode-pool epilogue "
+                        "(eval legs; training steps keep the XLA path)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches in HBM)")
     return p
