@@ -29,6 +29,33 @@ def test_fused_attention_model_parity():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_attention_plus_epilogue_3d_parity():
+    """The BraTS bench configuration composes BOTH Pallas paths: flash
+    squeezed attention (finish_from_mid_premul) feeding the fused expansion
+    epilogue (_output_and_pool -> fused_private_output_pool). The composed
+    3D model must match the exact XLA path."""
+    import dataclasses
+    from segtran_tpu.configs import Segtran3dConfig
+    from segtran_tpu.models.segtran3d import Segtran3d
+
+    base = Segtran3dConfig(
+        num_classes=4, num_attractors=8, orig_in_channels=4,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    ).derive(translayer_compress_ratios=(1.0, 1.0))
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 32, 32, 16, 4),
+                    jnp.float32)
+    model = Segtran3d(base)
+    params, rest = init_with_reference_schemes(
+        model, {"params": jax.random.PRNGKey(0)}, x)
+    y_exact = model.apply({"params": params, **rest}, x, train=False)
+    both = dataclasses.replace(base, use_fused_attention=True,
+                               use_fused_epilogue=True)
+    y_both = Segtran3d(both).apply({"params": params, **rest}, x,
+                                   train=False)
+    np.testing.assert_allclose(np.asarray(y_both), np.asarray(y_exact),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_remat_forward_parity_and_grad():
     """cfg.remat must not change numerics (beyond float noise) and must
     backprop through the checkpointed backbone+encoder."""
