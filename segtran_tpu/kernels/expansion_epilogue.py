@@ -59,6 +59,14 @@ def supports_full(num_modes: int, num_keys: int, feat_dim: int,
     return resident <= W2_VMEM_BUDGET
 
 
+def supports_permode(num_keys: int, feat_dim: int, itemsize: int) -> bool:
+    """Gate for fused_mid_output_pool_permode: one mode's W2 [F, F] (plus the
+    small [A, F] vw1 slice) resident -- admits the flagship's F=1792 layer 0
+    (6.4 MB bf16) that the all-modes kernels cannot hold."""
+    resident = (feat_dim * feat_dim + num_keys * feat_dim) * itemsize
+    return resident <= W2_VMEM_BUDGET
+
+
 def _ln_score_pool(ls, ss, o_ref):
     """Shared tail: softmax over modes (fp32) + weighted sum; ls: per-mode
     [TN, F] (compute dtype), ss: per-mode [TN, 1] fp32 scores."""
@@ -136,6 +144,98 @@ def _mid_epilogue_kernel(p_ref, vw1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
         ls.append(l)
         ss.append(s)
     _ln_score_pool(ls, ss, o_ref)
+
+
+def _mode_mid_ln_kernel(p_ref, vw1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
+                        lnb_ref, ws_ref, bs_ref, l_ref, s_ref, *,
+                        ln_eps: float):
+    """Single-mode body of the full fusion: emits the LayerNormed output l
+    and the feat2score s instead of pooling (the pool over modes runs as one
+    fused XLA elementwise pass on the M per-mode outputs)."""
+    cdt = l_ref.dtype
+    p = p_ref[0].astype(cdt)               # [TN, A]
+    mid32 = jax.lax.dot_general(p, vw1_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    mid = jax.nn.gelu(mid32.astype(cdt) + b1_ref[0][None, :],
+                      approximate=False)
+    z32 = jax.lax.dot_general(mid, w2_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    l, s = _out_ln_score(z32, b2_ref[0], scale_ref[0], lnb_ref[0], ws_ref[:],
+                         bs_ref[0, 0], cdt, ln_eps)
+    l_ref[0] = l
+    s_ref[0] = s[:, 0]
+
+
+def fused_mid_output_pool_permode(probs: jnp.ndarray, vw1: jnp.ndarray,
+                                  b1: jnp.ndarray, w2: jnp.ndarray,
+                                  b2: jnp.ndarray, ln_scale: jnp.ndarray,
+                                  ln_bias: jnp.ndarray, ws: jnp.ndarray,
+                                  bs: jnp.ndarray, *, ln_eps: float = 1e-12,
+                                  tile_n: Optional[int] = None,
+                                  interpret: Optional[bool] = None
+                                  ) -> jnp.ndarray:
+    """Large-F tier of the full fusion (same signature/math as
+    fused_mid_output_pool): one pallas_call PER MODE, each holding only that
+    mode's [F, F] output weight resident (fits F=1792 bf16 in VMEM where the
+    all-modes kernel cannot), emitting l_m + s_m; the mode softmax-pool runs
+    as one fused XLA elementwise pass. HBM per batch at the flagship layer 0
+    (F=1792, bs 64): ~3.1 GB (P + vw1 + l round trip + out) vs ~5-7 GB for
+    the XLA chain that materializes mid, y and l."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, m, n, a = probs.shape
+    f = vw1.shape[-1]
+    dt = vw1.dtype
+    if tile_n is None:
+        tile_n = 128 if f >= 768 else 256
+    tile_n = min(tile_n, max(128, ((n + 127) // 128) * 128))
+    n_pad = ((n + tile_n - 1) // tile_n) * tile_n
+    if n_pad != n:
+        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    a_pad = ((a + 127) // 128) * 128
+    if a_pad != a:
+        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, 0), (0, a_pad - a)))
+        vw1 = jnp.pad(vw1, ((0, 0), (0, 0), (0, a_pad - a), (0, 0)))
+
+    const = lambda *_: (0, 0)
+    ls, ss = [], []
+    for mi in range(m):
+        l_m, s_m = pl.pallas_call(
+            functools.partial(_mode_mid_ln_kernel, ln_eps=ln_eps),
+            grid=(b, n_pad // tile_n),
+            in_specs=[
+                pl.BlockSpec((1, tile_n, a_pad), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, a_pad, f), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, f), const),
+                pl.BlockSpec((f, f), const),
+                pl.BlockSpec((1, f), const),
+                pl.BlockSpec((1, f), const),
+                pl.BlockSpec((1, f), const),
+                pl.BlockSpec((f, 1), const),
+                pl.BlockSpec((1, 1), const),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile_n, f), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, tile_n), lambda i, j: (i, j)),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((b, n_pad, f), dt),
+                       jax.ShapeDtypeStruct((b, n_pad), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(probs[:, mi], vw1[:, mi], b1.astype(dt)[None], w2[mi].astype(dt),
+          b2[mi].astype(dt)[None], ln_scale.astype(dt)[None],
+          ln_bias.astype(dt)[None], ws.astype(dt),
+          bs.astype(jnp.float32)[None])
+        ls.append(l_m[:, :n])
+        ss.append(s_m[:, :n])
+    # softmax pool over modes, fp32 (one fused XLA elementwise pass)
+    smax = functools.reduce(jnp.maximum, ss)
+    es = [jnp.exp(s - smax)[..., None] for s in ss]
+    denom = functools.reduce(jnp.add, es)
+    acc = functools.reduce(
+        jnp.add, [e * l.astype(jnp.float32) for e, l in zip(es, ls)])
+    return (acc / denom).astype(dt)
 
 
 def fused_private_output_pool(mid: jnp.ndarray, w2: jnp.ndarray,

@@ -385,19 +385,27 @@ class ExpandedFeatTrans(nn.Module):
         itemsize = jnp.dtype(s.dtype).itemsize
         return supports(s.num_modes, s.feat_dim, itemsize)
 
-    def _fused_full_ok(self, deterministic: bool, num_keys: int) -> bool:
-        """Gate for the fully fused P->mid->output->pool kernel (only valid
-        on the shared-mid reassociation branch that calls it)."""
+    def _fused_full_tier(self, deterministic: bool,
+                         num_keys: int) -> Optional[str]:
+        """Tier of the fully fused P->mid->output->pool path (only valid on
+        the shared-mid reassociation branch that calls it): 'full' when the
+        all-modes [M,F,F] W2 sits in VMEM, 'permode' when only a single
+        mode's [F,F] does (the flagship's F=1792 layer 0), else None."""
         s = self.spec
         if not (s.use_fused_epilogue and deterministic
                 and not self.is_initializing()
                 and s.trans_output_type == "private"
                 and not s.fix_private_output_residual
                 and s.pool_modes_feat == "softmax"):
-            return False
-        from ..kernels.expansion_epilogue import supports_full
+            return None
+        from ..kernels.expansion_epilogue import (supports_full,
+                                                  supports_permode)
         itemsize = jnp.dtype(s.dtype).itemsize
-        return supports_full(s.num_modes, num_keys, s.feat_dim, itemsize)
+        if supports_full(s.num_modes, num_keys, s.feat_dim, itemsize):
+            return "full"
+        if supports_permode(num_keys, s.feat_dim, itemsize):
+            return "permode"
+        return None
 
     def _output_and_pool(self, mid: jnp.ndarray, shortcut,
                          deterministic: bool) -> jnp.ndarray:
@@ -454,18 +462,20 @@ class ExpandedFeatTrans(nn.Module):
                 # because MMPrivateOutput drops its residual (the reference
                 # quirk), so `fused` is never consumed downstream.
                 v = self.compute_v(input_feat)
-                if self._fused_full_ok(deterministic, u2):
+                tier = self._fused_full_tier(deterministic, u2)
+                if tier is not None:
                     # Full Pallas fusion: mid is computed tile-by-tile inside
                     # the epilogue kernel from P and (V W1) -- the [B,M,N,F]
                     # mid tensor never touches HBM.
-                    from ..kernels.expansion_epilogue import \
-                        fused_mid_output_pool
+                    from ..kernels import expansion_epilogue as epi
+                    fn = (epi.fused_mid_output_pool if tier == "full"
+                          else epi.fused_mid_output_pool_permode)
                     vw1 = self.intermediate(v, stage="premul")
                     b1 = self.intermediate.variables[
                         "params"]["shared_linear"]["bias"]
                     ov = self.output.variables["params"]
                     pv = self.feat_softaggr.variables["params"]["feat2score"]
-                    return fused_mid_output_pool(
+                    return fn(
                         attention_probs, vw1, b1,
                         ov["group_linear"]["kernel"],
                         ov["group_linear"]["bias"],

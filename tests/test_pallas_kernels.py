@@ -182,6 +182,58 @@ def test_fused_mid_epilogue_matches_oracle(b, m, n, a, f, tile):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_mid_epilogue_permode_matches_full():
+    """The per-mode large-F tier must equal the all-modes full-fusion kernel
+    (same math, different blocking + XLA pool)."""
+    from segtran_tpu.kernels.expansion_epilogue import (
+        fused_mid_output_pool, fused_mid_output_pool_permode)
+    b, m, n, a, f = 2, 4, 300, 48, 256
+    rng = np.random.RandomState(11)
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, m, n, a).astype(np.float32)), axis=-1)
+    vw1 = jnp.asarray(rng.randn(b, m, a, f).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(m, f, f).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(m, f).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.rand(f).astype(np.float32) + 0.5)
+    lnb = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    ws = jnp.asarray(rng.randn(f, 1).astype(np.float32) * 0.2)
+    bs = jnp.asarray(rng.randn(1).astype(np.float32))
+    args = (probs, vw1, b1, w2, b2, scale, lnb, ws, bs)
+    full = fused_mid_output_pool(*args, ln_eps=1e-12, tile_n=128,
+                                 interpret=True)
+    per = fused_mid_output_pool_permode(*args, ln_eps=1e-12, tile_n=128,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(per), np.asarray(full),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_epilogue_module_permode_dispatch(monkeypatch):
+    """With a VMEM budget that only admits a single mode's W2, the module
+    must route to the per-mode tier and still match the XLA path."""
+    import dataclasses
+    from segtran_tpu.kernels import expansion_epilogue as epi
+    from segtran_tpu.nn.attention import SqueezedAttFeatTrans, TransLayerSpec
+
+    spec = TransLayerSpec(in_feat_dim=256, feat_dim=256, num_modes=4,
+                          attention_probs_dropout_prob=0.0,
+                          hidden_dropout_prob=0.0, dtype=jnp.float32)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 64, 256).astype(np.float32) * 0.2)
+    mod = SqueezedAttFeatTrans(spec, num_attractors=16)
+    variables = mod.init({"params": jax.random.PRNGKey(0)}, x,
+                         deterministic=True)
+    ref = mod.apply(variables, x, deterministic=True)
+    # one mode's W2 (256*256*4) + vw1 slice fits; four modes' do not
+    monkeypatch.setattr(epi, "W2_VMEM_BUDGET", 300_000)
+    fast = SqueezedAttFeatTrans(
+        dataclasses.replace(spec, use_fused_epilogue=True),
+        num_attractors=16)
+    out = fast.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-6)
+
+
 @pytest.mark.parametrize("mid_type", ["shared", "private"])
 def test_fused_epilogue_module_path_matches_xla(mid_type):
     """SqueezedAttFeatTrans with use_fused_epilogue on vs off (same params,
