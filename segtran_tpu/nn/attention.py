@@ -183,6 +183,39 @@ class _SharedLinear(nn.Module):
         return y + bias.astype(self.dtype) if bias is not None else y
 
 
+class _QKDense(nn.Module):
+    """Parameter-compatible stand-in for the nn.Dense Q/K projections (same
+    scope/param names + promote-dtype math on the plain path), extended with
+    ``stage='kernel'`` / ``'bias'`` raw-parameter access so the score
+    computation can reassociate the projection of the BIG token side through
+    the small attractor side (see CrossAttFeatTrans.__call__): params must
+    exist on every trace, including ones that never apply this projection
+    directly."""
+    features: int
+    in_features: int
+    use_bias: bool = True
+    kernel_init: Any = _normal(0.02)
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Optional[jnp.ndarray] = None,
+                 stage: str = "full") -> Optional[jnp.ndarray]:
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.in_features, self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        if stage == "kernel":
+            return kernel
+        if stage == "bias":
+            return bias
+        # identical math to flax nn.Dense
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(x, kernel, (((x.ndim - 1,), (0,)), ((), ())))
+        return y + bias if bias is not None else y
+
+
 class MMPrivateLinear(nn.Module):
     """Per-mode private linear, the TPU-native equivalent of the reference's
     grouped 1x1 Conv1d (segtran_shared.py:200-218, 255-275). One einsum over a
@@ -538,25 +571,28 @@ class CrossAttFeatTrans(nn.Module):
         u2 = in_key.shape[1]
         m, amd = s.num_modes, s.attention_mode_dim
 
-        query = nn.Dense(s.att_size_allmode, use_bias=s.qk_have_bias,
+        c_q, c_k = in_query.shape[-1], in_key.shape[-1]
+        query = _QKDense(s.att_size_allmode, in_features=c_q,
+                         use_bias=s.qk_have_bias,
                          kernel_init=_normal(s.base_initializer_range),
                          bias_init=nn.initializers.zeros, dtype=s.dtype,
                          name="query")
         if s.tie_qk_scheme == "shared":
             # Q and K share one parameter set: apply the same Dense twice
             # (reference tie_qk 'shared', segtran_shared.py:528-531).
-            q = query(in_query)
-            k = query(in_key)
+            key = query
         else:
-            key = nn.Dense(s.att_size_allmode, use_bias=s.qk_have_bias,
+            key = _QKDense(s.att_size_allmode, in_features=c_k,
+                           use_bias=s.qk_have_bias,
                            kernel_init=_normal(s.base_initializer_range),
                            bias_init=nn.initializers.zeros, dtype=s.dtype,
                            name="key")
-            q = query(in_query)
-            k = key(in_key)
 
-        q = q.reshape(b, u1, m, amd).transpose(0, 2, 1, 3)  # [B,M,U1,amd]
-        k = k.reshape(b, u2, m, amd).transpose(0, 2, 1, 3)  # [B,M,U2,amd]
+        def proj_q():
+            return query(in_query).reshape(b, u1, m, amd).transpose(0, 2, 1, 3)
+
+        def proj_k():
+            return key(in_key).reshape(b, u2, m, amd).transpose(0, 2, 1, 3)
 
         fused_ok = (s.use_fused_attention and pos_biases is None
                     and not self.keep_attn_scores and not s.ablate_multihead
@@ -567,6 +603,7 @@ class CrossAttFeatTrans(nn.Module):
                 fused_cross_attention_trainable)
             out_trans = ExpandedFeatTrans(s, name="out_trans")
             f = s.feat_dim
+            q, k = proj_q(), proj_k()
             if u2 < u1 and out_trans.supports_mid_premul():
                 # Reassociated streaming path: the kernel contracts P with
                 # V W1 instead of V (gelu((P V) W1 + b1) == gelu(P (V W1) +
@@ -590,8 +627,49 @@ class CrossAttFeatTrans(nn.Module):
         # tensor follows the compute dtype (softmax still reduces in fp32
         # below) -- halves the [B,M,U1,U2] HBM footprint in bf16 mode.
         score_dt = jnp.float32 if s.dtype == jnp.float32 else s.dtype
-        scores = jnp.einsum("bmqd,bmkd->bmqk", q, k,
-                            preferred_element_type=score_dt)
+        # Exact QK reassociation (the score-side analogue of
+        # ExpandedFeatTrans's V reassociation): when one side is much bigger
+        # (the squeezed layer's N tokens vs A attractors), fold the BIG
+        # side's projection through the small side --
+        #   (X Wq + bq)(K)^T == X (Wq K^T) + (bq K^T)   [q-fold, u1 >> u2]
+        #   (Q)(X Wk + bk)^T == (Q Wk^T) X^T + (Q bk)   [k-fold, u2 >> u1]
+        # -- matmul associativity, so the scores (and everything after:
+        # clamp, diag, pos biases, softmax) are unchanged up to rounding.
+        # The big [B, N, M*amd] Q/K tensor is never materialized and the
+        # projection FLOPs shrink by ~N/A. Static win tests compare exact
+        # contraction counts.
+        q_fold = (s.reassociate
+                  and u2 * c_q * (amd + u1) < amd * u1 * (c_q + u2))
+        k_fold = (s.reassociate
+                  and u1 * c_k * (amd + u2) < amd * u2 * (c_k + u1))
+        if q_fold:
+            k = proj_k()                                     # [B,M,U2,amd]
+            wq = query(stage="kernel").astype(s.dtype).reshape(c_q, m, amd)
+            wfold = jnp.einsum("cmd,bmad->bmca", wq, k,
+                               preferred_element_type=s.dtype)
+            scores = jnp.einsum("bqc,bmca->bmqa", in_query.astype(s.dtype),
+                                wfold, preferred_element_type=score_dt)
+            if s.qk_have_bias:
+                bq = query(stage="bias").astype(s.dtype).reshape(m, amd)
+                scores = scores + jnp.einsum(
+                    "md,bmad->bma", bq, k,
+                    preferred_element_type=score_dt)[:, :, None, :]
+        elif k_fold:
+            q = proj_q()                                     # [B,M,U1,amd]
+            wk = key(stage="kernel").astype(s.dtype).reshape(c_k, m, amd)
+            qfold = jnp.einsum("bmqd,cmd->bmqc", q, wk,
+                               preferred_element_type=s.dtype)
+            scores = jnp.einsum("bmqc,bkc->bmqk", qfold,
+                                in_key.astype(s.dtype),
+                                preferred_element_type=score_dt)
+            if s.qk_have_bias:
+                bk = key(stage="bias").astype(s.dtype).reshape(m, amd)
+                scores = scores + jnp.einsum(
+                    "bmqd,md->bmq", q, bk,
+                    preferred_element_type=score_dt)[..., None]
+        else:
+            scores = jnp.einsum("bmqd,bmkd->bmqk", proj_q(), proj_k(),
+                                preferred_element_type=score_dt)
         scores = scores / math.sqrt(amd)
         if s.keep_attn_diag:
             # max / positive-mean / clamped-this-call, the stats behind the
