@@ -46,6 +46,7 @@ params, rest = init_with_reference_schemes(
 variables = {"params": params, **rest}
 
 variants = {
+    "noreassoc": build(reassociate=False),
     "baseline": build(),
     "epilogue": build(use_fused_epilogue=True),
     "fusedattn": build(use_fused_attention=True),

@@ -104,6 +104,11 @@ class TransformerConfig:
     # inference-only fast path, exact XLA modules remain the training path.
     use_fused_epilogue: bool = False
 
+    # Exact matmul reassociations exploiting A << N in the squeezed layers
+    # (V/W1 push-through and QK folds, nn/attention.py). Same math, ~N/A
+    # fewer projection FLOPs; off only for ablation/debugging.
+    reassociate: bool = True
+
     # Rematerialize backbone + fusion encoder activations in the backward pass
     # (jax.checkpoint): trades ~30% step FLOPs for large HBM savings, enabling
     # bigger batches / whole-volume training on 16GB v5e chips.

@@ -51,6 +51,7 @@ def layer_spec_from_config(cfg: TransformerConfig, layer_i: int) -> TransLayerSp
         fix_private_output_residual=cfg.fix_private_output_residual,
         use_fused_attention=cfg.use_fused_attention,
         use_fused_epilogue=getattr(cfg, "use_fused_epilogue", False),
+        reassociate=getattr(cfg, "reassociate", True),
         ln_eps=cfg.ln_eps,
         dtype=cfg.dtype,
     )
