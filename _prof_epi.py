@@ -73,7 +73,7 @@ def build3d(**kw):
     return Segtran3d(Segtran3dConfig(
         num_classes=4, num_attractors=1024, orig_in_channels=4,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-        use_fused_attention=True, dtype=jnp.bfloat16, **kw,
+        dtype=jnp.bfloat16, **kw,
     ).derive(translayer_compress_ratios=(1.0, 1.0)))
 
 
@@ -83,12 +83,15 @@ p3, r3 = init_with_reference_schemes(
     m3, {"params": jax.random.PRNGKey(0)}, x3)
 v3 = {"params": p3, **r3}
 outs3 = {}
-for name, model in {"3d-base": build3d(),
-                    "3d-epilogue": build3d(use_fused_epilogue=True)}.items():
+for name, model in {
+        "3d-xla": build3d(),
+        "3d-fusedattn": build3d(use_fused_attention=True),
+        "3d-fused+epi": build3d(use_fused_attention=True,
+                                use_fused_epilogue=True)}.items():
     fwd = jax.jit(lambda v, x, m=model: m.apply(v, x, train=False))
     dt = timeit(fwd, v3, x3, iters=10)
     outs3[name] = jnp.mean(fwd(v3, x3).astype(jnp.float32))
     mvox = VOL[0] * VOL[1] * VOL[2] / dt / 1e6
     print(f"{name:12s}: {dt*1e3:7.2f} ms  -> {mvox:6.1f} Mvox/s", flush=True)
-print("3d mean-logit |delta|:",
-      abs(float(outs3["3d-epilogue"]) - float(outs3["3d-base"])))
+print("3d mean-logit |delta| vs 3d-xla:",
+      {n: abs(float(o) - float(outs3["3d-xla"])) for n, o in outs3.items()})

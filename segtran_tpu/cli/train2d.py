@@ -330,6 +330,15 @@ def build_model_and_config(args, task):
                             bn_eval=(args.bn_opt_scheme == "fixstats"),
                             dtype=dtype)
         return model, None
+    def resnet_bb():
+        # resnet-hybrid nets: keep a resnet --bb, else fall back to resnet50
+        # (and say so -- the user may have left the segtran default eff-b4)
+        if args.backbone_type.startswith("resnet"):
+            return args.backbone_type
+        print(f"--net {args.net} needs a resnet backbone; ignoring "
+              f"--bb {args.backbone_type} and using resnet50")
+        return "resnet50"
+
     # baseline zoo (reference --net dispatch, train2d.py:933-1032)
     if args.net in ("unet", "unet-smp"):
         from ..models.unet_smp import UnetSMP
@@ -351,22 +360,19 @@ def build_model_and_config(args, task):
         return DUNetV1V2(n_classes=nc, dtype=dtype), None
     if args.net == "transunet":
         from ..models.transunet import TransUNet
-        bb = args.backbone_type if args.backbone_type.startswith("resnet") \
-            else "resnet50"
-        return TransUNet(num_classes=nc, backbone=bb, dtype=dtype), None
+        return TransUNet(num_classes=nc, backbone=resnet_bb(),
+                         dtype=dtype), None
     if args.net == "setr":
         from ..models.setr import SETR_PUP
         return SETR_PUP(num_classes=nc, dtype=dtype), None
     if args.net == "deeplabv3":
         from ..models.deeplab import DeepLabV3
-        bb = args.backbone_type if args.backbone_type.startswith("resnet") \
-            else "resnet50"
-        return DeepLabV3(num_classes=nc, backbone=bb, dtype=dtype), None
+        return DeepLabV3(num_classes=nc, backbone=resnet_bb(),
+                         dtype=dtype), None
     if args.net in ("deeplabv3plus", "deeplab-smp"):
         from ..models.deeplab import DeepLabV3Plus
-        bb = args.backbone_type if args.backbone_type.startswith("resnet") \
-            else "resnet50"
-        return DeepLabV3Plus(num_classes=nc, backbone=bb, dtype=dtype), None
+        return DeepLabV3Plus(num_classes=nc, backbone=resnet_bb(),
+                             dtype=dtype), None
     if args.net == "pranet":
         return _PraNetForTraining(num_classes=nc - 1, dtype=dtype), None
     if args.net == "nnunet":

@@ -46,6 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 W2_VMEM_BUDGET = 9 * 1024 * 1024
 
 
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
 def supports(num_modes: int, feat_dim: int, itemsize: int) -> bool:
     return num_modes * feat_dim * feat_dim * itemsize <= W2_VMEM_BUDGET
 
@@ -53,18 +57,37 @@ def supports(num_modes: int, feat_dim: int, itemsize: int) -> bool:
 def supports_full(num_modes: int, num_keys: int, feat_dim: int,
                   itemsize: int) -> bool:
     """Gate for fused_mid_output_pool: W2 [M,F,F] plus the per-batch V.W1
-    operand [M,A,F] must both sit resident in VMEM."""
+    operand [M,A,F] must both sit resident in VMEM. num_keys counts at its
+    lane-padded size -- the kernel pads the attractor axis to 128."""
     resident = (num_modes * feat_dim * feat_dim
-                + num_modes * num_keys * feat_dim) * itemsize
+                + num_modes * _pad128(num_keys) * feat_dim) * itemsize
     return resident <= W2_VMEM_BUDGET
 
 
 def supports_permode(num_keys: int, feat_dim: int, itemsize: int) -> bool:
     """Gate for fused_mid_output_pool_permode: one mode's W2 [F, F] (plus the
-    small [A, F] vw1 slice) resident -- admits the flagship's F=1792 layer 0
-    (6.4 MB bf16) that the all-modes kernels cannot hold."""
-    resident = (feat_dim * feat_dim + num_keys * feat_dim) * itemsize
+    small lane-padded [A, F] vw1 slice) resident -- admits the flagship's
+    F=1792 layer 0 (6.4 MB bf16) that the all-modes kernels cannot hold."""
+    resident = (feat_dim * feat_dim + _pad128(num_keys) * feat_dim) * itemsize
     return resident <= W2_VMEM_BUDGET
+
+
+def _pad_tiles_2d(probs, vw1, f: int, tile_n):
+    """Shared preamble of the two full-fusion wrappers: tile_n heuristic and
+    N-/A-axis zero padding (both exact). Returns (probs, vw1, tile_n, n_pad,
+    a_pad)."""
+    n, a = probs.shape[2], probs.shape[3]
+    if tile_n is None:
+        tile_n = 128 if f >= 768 else 256
+    tile_n = min(tile_n, max(128, _pad128(n)))
+    n_pad = ((n + tile_n - 1) // tile_n) * tile_n
+    if n_pad != n:
+        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    a_pad = _pad128(a)
+    if a_pad != a:
+        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, 0), (0, a_pad - a)))
+        vw1 = jnp.pad(vw1, ((0, 0), (0, 0), (0, a_pad - a), (0, 0)))
+    return probs, vw1, tile_n, n_pad, a_pad
 
 
 def _ln_score_pool(ls, ss, o_ref):
@@ -183,19 +206,10 @@ def fused_mid_output_pool_permode(probs: jnp.ndarray, vw1: jnp.ndarray,
     the XLA chain that materializes mid, y and l."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, m, n, a = probs.shape
+    b, m, n, _ = probs.shape
     f = vw1.shape[-1]
     dt = vw1.dtype
-    if tile_n is None:
-        tile_n = 128 if f >= 768 else 256
-    tile_n = min(tile_n, max(128, ((n + 127) // 128) * 128))
-    n_pad = ((n + tile_n - 1) // tile_n) * tile_n
-    if n_pad != n:
-        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-    a_pad = ((a + 127) // 128) * 128
-    if a_pad != a:
-        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, 0), (0, a_pad - a)))
-        vw1 = jnp.pad(vw1, ((0, 0), (0, 0), (0, a_pad - a), (0, 0)))
+    probs, vw1, tile_n, n_pad, a_pad = _pad_tiles_2d(probs, vw1, f, tile_n)
 
     const = lambda *_: (0, 0)
     ls, ss = [], []
@@ -298,20 +312,10 @@ def fused_mid_output_pool(probs: jnp.ndarray, vw1: jnp.ndarray,
     streaming the mid tensor, on top of skipping the mid write entirely."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, m, n, a = probs.shape
+    b, m, n, _ = probs.shape
     f = vw1.shape[-1]
     dt = vw1.dtype
-    if tile_n is None:
-        tile_n = 128 if f >= 768 else 256
-    tile_n = min(tile_n, max(128, ((n + 127) // 128) * 128))
-    n_pad = ((n + tile_n - 1) // tile_n) * tile_n
-    if n_pad != n:
-        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-    a_pad = ((a + 127) // 128) * 128
-    if a_pad != a:
-        # zero-pad the contraction axis (exact)
-        probs = jnp.pad(probs, ((0, 0), (0, 0), (0, 0), (0, a_pad - a)))
-        vw1 = jnp.pad(vw1, ((0, 0), (0, 0), (0, a_pad - a), (0, 0)))
+    probs, vw1, tile_n, n_pad, a_pad = _pad_tiles_2d(probs, vw1, f, tile_n)
 
     const = lambda *_: (0, 0)
     const3 = lambda *_: (0, 0, 0)

@@ -229,17 +229,20 @@ def test_attn_clamp_semantics():
                                [[-500.0, 10.0], [3.0, 500.0]])
 
 
-def test_reassociation_exactness():
+@pytest.mark.parametrize("qk_bias", [False, True])
+def test_reassociation_exactness(qk_bias):
     """The squeezed-layer matmul reassociations (ExpandedFeatTrans Path A/B:
-    P(XW)==( PX)W and gelu((PV)W1+b1)==gelu(P(VW1)+b1)) must match the naive
-    path on the SAME params to fp32 roundoff, forward and backward."""
+    P(XW)==(PX)W and gelu((PV)W1+b1)==gelu(P(VW1)+b1); and the QK folds
+    (X Wq + bq) K^T == X (Wq K^T) + bq K^T incl. the folded-BIAS correction
+    terms when qk_bias) must match the naive path on the SAME params to fp32
+    roundoff, forward and backward."""
     import dataclasses
     import jax
     from segtran_tpu.nn.attention import (TransLayerSpec,
                                           SqueezedAttFeatTrans)
     spec = TransLayerSpec(in_feat_dim=64, feat_dim=48, num_modes=4,
                           attention_probs_dropout_prob=0.0,
-                          hidden_dropout_prob=0.0, qk_have_bias=False,
+                          hidden_dropout_prob=0.0, qk_have_bias=qk_bias,
                           reassociate=True)
     spec_off = dataclasses.replace(spec, reassociate=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 64))
