@@ -46,9 +46,10 @@ params, rest = init_with_reference_schemes(
 variables = {"params": params, **rest}
 
 variants = {
-    "noreassoc": build(reassociate=False),
+    # bench-deciding pair first (fresh remote compiles are ~2-4 min each)
     "baseline": build(),
     "epilogue": build(use_fused_epilogue=True),
+    "noreassoc": build(reassociate=False),
     "fusedattn": build(use_fused_attention=True),
     "both": build(use_fused_attention=True, use_fused_epilogue=True),
 }
