@@ -68,10 +68,14 @@ def bench_brats_wholevol():
     from segtran_tpu.models.segtran3d import Segtran3d
     from segtran_tpu.nn.init import init_with_reference_schemes
 
+    # round-3 A/B (_prof_epi.py): with the QK/V reassociations now default,
+    # plain XLA edges out the flash kernel at this scale (53.2 vs 52.6
+    # Mvox/s; exact numerics both ways) -- the fused path still wins at the
+    # larger-N serving shapes (test3d --wholevol --fused).
     cfg = Segtran3dConfig(
         num_classes=4, num_attractors=1024, orig_in_channels=4,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-        use_fused_attention=True, dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16,
     ).derive(translayer_compress_ratios=(1.0, 1.0))
     model = Segtran3d(cfg)
     x = jnp.zeros((1, *VOL_SHAPE, 4), jnp.float32)
@@ -100,10 +104,14 @@ def bench_fundus():
     from segtran_tpu.models import Segtran2d
     from segtran_tpu.nn.init import init_with_reference_schemes
 
+    # use_fused_epilogue: Pallas fused expansion epilogue (one HBM pass for
+    # private-output+LN+mode-pool, full-fusion tiers skip the mid tensor
+    # entirely); round-3 A/B 402.5 vs 385.2 imgs/s, exact numerics
+    # (_prof_epi.py).
     cfg = Segtran2dConfig(
         backbone_type="eff-b4", num_classes=3,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-        dtype=jnp.bfloat16,
+        use_fused_epilogue=True, dtype=jnp.bfloat16,
     ).derive(translayer_compress_ratios=(1.0, 1.0, 2.0, 2.0))
     model = Segtran2d(cfg)
     x = jnp.zeros((BATCH, 288, 288, 3), jnp.float32)

@@ -50,6 +50,38 @@ def _pad128(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
+def _erf_f32(x):
+    """f32 erf as Eigen's generic_fast_erf_float rational minimax (the same
+    approximation XLA's f32 erf lowers to): x*alpha(x^2)/beta(x^2) on
+    x clamped to [-4, 4]; |error| < 1 f32 ulp of erf over the range. Needed
+    because this jaxlib's Mosaic TC lowering implements neither erf nor
+    erfc."""
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    a = x2 * -2.72614225801306e-10 + 2.77068142495902e-08
+    a = a * x2 + -2.10102402082508e-06
+    a = a * x2 + -5.69250639462346e-05
+    a = a * x2 + -7.34990630326855e-04
+    a = a * x2 + -2.95459980854025e-03
+    a = a * x2 + -1.60960333262415e-02
+    a = a * x
+    b = x2 * -1.45660718464996e-05 + -2.13374055278905e-04
+    b = b * x2 + -1.68282697438203e-03
+    b = b * x2 + -7.37332916720468e-03
+    b = b * x2 + -1.42647390514189e-02
+    return a / b
+
+
+def _gelu_erf(x):
+    """Exact (erf-form) gelu matching the XLA path's jax.nn.gelu
+    (approximate=False) numerics: computed in f32 via _erf_f32 and rounded
+    once to the compute dtype -- within 1 bf16 ulp of XLA's erfc chain,
+    asserted by the kernel parity tests."""
+    x32 = x.astype(jnp.float32)
+    y = 0.5 * x32 * (1.0 + _erf_f32(x32 * 0.7071067811865476))
+    return y.astype(x.dtype)
+
+
 def supports(num_modes: int, feat_dim: int, itemsize: int) -> bool:
     return num_modes * feat_dim * feat_dim * itemsize <= W2_VMEM_BUDGET
 
@@ -160,7 +192,7 @@ def _mid_epilogue_kernel(p_ref, vw1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
                                     preferred_element_type=jnp.float32)
         # XLA-path numerics (MMSharedMid): round to compute dtype, bias-add,
         # exact (erf) gelu -- attention.py _gelu_exact.
-        mid = jax.nn.gelu(mid32.astype(cdt) + b1[None, :], approximate=False)
+        mid = _gelu_erf(mid32.astype(cdt) + b1[None, :])
         z32 = jax.lax.dot_general(mid, w2_ref[m], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         l, s = _out_ln_score(z32, b2_ref[m], scale, lnb, ws, bs, cdt, ln_eps)
@@ -179,14 +211,16 @@ def _mode_mid_ln_kernel(p_ref, vw1_ref, b1_ref, w2_ref, b2_ref, scale_ref,
     p = p_ref[0].astype(cdt)               # [TN, A]
     mid32 = jax.lax.dot_general(p, vw1_ref[0], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    mid = jax.nn.gelu(mid32.astype(cdt) + b1_ref[0][None, :],
-                      approximate=False)
+    mid = _gelu_erf(mid32.astype(cdt) + b1_ref[0][None, :])
     z32 = jax.lax.dot_general(mid, w2_ref[:], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     l, s = _out_ln_score(z32, b2_ref[0], scale_ref[0], lnb_ref[0], ws_ref[:],
                          bs_ref[0, 0], cdt, ln_eps)
     l_ref[0] = l
-    s_ref[0] = s[:, 0]
+    # [TN, 1] block: Mosaic requires the second-to-minor block dim divisible
+    # by 8, so the score rides a trailing size-1 lane axis (like the flash
+    # kernel's lse) instead of a 2D [B, N] layout
+    s_ref[0] = s
 
 
 def fused_mid_output_pool_permode(probs: jnp.ndarray, vw1: jnp.ndarray,
@@ -230,10 +264,10 @@ def fused_mid_output_pool_permode(probs: jnp.ndarray, vw1: jnp.ndarray,
             ],
             out_specs=[
                 pl.BlockSpec((1, tile_n, f), lambda i, j: (i, j, 0)),
-                pl.BlockSpec((1, tile_n), lambda i, j: (i, j)),
+                pl.BlockSpec((1, tile_n, 1), lambda i, j: (i, j, 0)),
             ],
             out_shape=[jax.ShapeDtypeStruct((b, n_pad, f), dt),
-                       jax.ShapeDtypeStruct((b, n_pad), jnp.float32)],
+                       jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
@@ -242,7 +276,7 @@ def fused_mid_output_pool_permode(probs: jnp.ndarray, vw1: jnp.ndarray,
           ln_bias.astype(dt)[None], ws.astype(dt),
           bs.astype(jnp.float32)[None])
         ls.append(l_m[:, :n])
-        ss.append(s_m[:, :n])
+        ss.append(s_m[:, :n, 0])
     # softmax pool over modes, fp32 (one fused XLA elementwise pass)
     smax = functools.reduce(jnp.maximum, ss)
     es = [jnp.exp(s - smax)[..., None] for s in ss]
