@@ -252,6 +252,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="bfloat16 compute (recommended on TPU)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches in HBM)")
+    p.add_argument("--gradaccum", dest="grad_accum", type=int, default=1,
+                   help="accumulate gradients over N microbatches per step "
+                        "(exact full-batch mean; activation memory of one "
+                        "microbatch; --bs must be divisible by N)")
     p.add_argument("--scanblocks", dest="scan_blocks", action="store_true",
                    help="lax.scan over identical EfficientNet MBConv repeats"
                         " (smaller HLO, faster first compile; same eval "
@@ -462,6 +466,12 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     task_name = args.task_name
     has_aux = (disc_model is not None or recon_model is not None
                or bool(vcdr_models))
+    grad_accum = max(1, int(getattr(args, "grad_accum", 1)))
+    if grad_accum > 1 and (has_aux or contrast_bank is not None):
+        # source-domain batches / feature banks are whole-batch structures;
+        # microbatching them is a different algorithm, not an optimization
+        raise ValueError("--gradaccum > 1 is supported for the supervised "
+                         "path only (no DA/recon/vCDR/contrast)")
     attn_diag_on = getattr(args, "attn_diag_cycles", 0) > 0
     need_inter = (disc_model is not None and args.adversarial_mode == "feat") \
         or args.use_attn_consist_loss or recon_model is not None \
@@ -499,10 +509,15 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                 jnp.zeros(batch["source_image"].shape[:3] + (1,)), aug_cfg)
             batch = dict(batch, source_image=src_aug)
 
-        def compute_loss(params):
+        # image_small/mask/drng are bound as defaults so --gradaccum can call
+        # the SAME loss on microbatch slices; bstats_in threads BatchNorm
+        # state sequentially through the accumulation scan
+        def compute_loss(params, image_small=image_small, mask=mask,
+                         drng=drng, bstats_in=None):
             net_params = params["net"] if has_aux else params
-            net_bstats = (state.batch_stats.get("net")
-                          if has_aux else state.batch_stats)
+            net_bstats = (bstats_in if bstats_in is not None else
+                          (state.batch_stats.get("net")
+                           if has_aux else state.batch_stats))
             logits, new_bstats, mstate = run_net(net_params, net_bstats,
                                                  image_small, drng)
             loss, metrics = loss_fn(logits, mask)
@@ -673,7 +688,32 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
             return loss, (metrics, all_bstats)
 
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
-        (_, (metrics, new_bstats)), grads = grad_fn(state.params)
+        if grad_accum > 1:
+            # split the (already augmented) batch into microbatches and scan:
+            # activation memory is one microbatch's, gradients average to the
+            # exact full-batch mean (losses are per-example means)
+            a = grad_accum
+            img_mb = image_small.reshape(
+                (a, image_small.shape[0] // a) + image_small.shape[1:])
+            msk_mb = mask.reshape((a, mask.shape[0] // a) + mask.shape[1:])
+
+            def body(carry, inp):
+                gsum, bstats = carry
+                img_i, msk_i, i = inp
+                (_, (m, nb)), g = grad_fn(
+                    state.params, img_i, msk_i,
+                    jax.random.fold_in(drng, i + 1), bstats)
+                return (jax.tree_util.tree_map(jnp.add, gsum, g), nb), m
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, new_bstats), ms = jax.lax.scan(
+                body, (gzero, state.batch_stats),
+                (img_mb, msk_mb, jnp.arange(a)))
+            grads = jax.tree_util.tree_map(lambda g: g / a, gsum)
+            metrics = {k: (v[0] if k.startswith("_preview") else
+                           jnp.mean(v, 0)) for k, v in ms.items()}
+        else:
+            (_, (metrics, new_bstats)), grads = grad_fn(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -699,6 +739,9 @@ def main(argv=None):
         if _n % args.tensor_parallel:
             raise ValueError(f"--tp {args.tensor_parallel} must divide "
                              f"device count {_n}")
+    if args.grad_accum > 1 and args.batch_size % args.grad_accum:
+        raise ValueError(f"--gradaccum {args.grad_accum} must divide "
+                         f"--bs {args.batch_size}")
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_input_size", args.orig_input_size),
                             ("patch_size", args.patch_size)):

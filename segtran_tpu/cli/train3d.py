@@ -147,6 +147,10 @@ def build_argparser():
                         "(eval legs; training steps keep the XLA path)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches in HBM)")
+    p.add_argument("--gradaccum", dest="grad_accum", type=int, default=1,
+                   help="accumulate gradients over N microbatches per step "
+                        "(exact full-batch mean; activation memory of one "
+                        "microbatch; --bs must be divisible by N)")
     return p
 
 
@@ -159,6 +163,9 @@ def main(argv=None):
     # replaces reference dist.init_process_group, train2d.py:796-801)
     from ..parallel.multihost import init_multihost
     init_multihost(verbose=True)
+    if args.grad_accum > 1 and args.batch_size % args.grad_accum:
+        raise ValueError(f"--gradaccum {args.grad_accum} must divide "
+                         f"--bs {args.batch_size}")
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_patch_size", args.orig_patch_size),
                             ("input_patch_size", args.input_patch_size)):
@@ -332,7 +339,9 @@ def main(argv=None):
                 depth_first=depth_first)
             return ac_w * ac, {"attn_consist_loss": ac}
 
-    base_step = make_train_step(model, tx, loss_fn, aux_loss_fn=aux_loss_fn)
+    base_step = make_train_step(model, tx, loss_fn, aux_loss_fn=aux_loss_fn,
+                                grad_accum=max(1, int(getattr(
+                                    args, "grad_accum", 1))))
 
     def step(state, batch):
         rng = jax.random.fold_in(state.rng, state.step + 31)

@@ -110,46 +110,79 @@ def make_loss_fn(num_classes: int,
 def make_train_step(model, tx: optax.GradientTransformation,
                     loss_fn: Callable,
                     has_batch_stats: bool = True,
-                    aux_loss_fn: Optional[Callable] = None) -> Callable:
+                    aux_loss_fn: Optional[Callable] = None,
+                    grad_accum: int = 1) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics). Jit/pjit-ready.
 
     aux_loss_fn(mstate, mask) -> (extra_loss, extra_metrics): optional hook
     receiving the mutated-collections dict (intermediates are requested when
     the hook is set) -- used e.g. for the 3D attention-consistency loss.
+
+    grad_accum > 1 splits the batch into that many microbatches and runs
+    them through a ``lax.scan``, averaging gradients (and metrics) before the
+    single optimizer update -- effective batch sizes beyond what one chip's
+    HBM can hold in a single backward (the reference has no counterpart; on
+    GPU it would simply OOM, train2d.py:1134). Activation memory is that of
+    ONE microbatch; BatchNorm statistics update sequentially per microbatch
+    (the usual momentum EMA makes this equivalent to running smaller steps,
+    not a numerics change to the gradient, which stays an exact full-batch
+    mean because every microbatch loss is itself a mean over its samples).
     """
+
+    def compute_loss(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if has_batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable.append("batch_stats")
+        if aux_loss_fn is not None:
+            mutable.append("intermediates")
+        if mutable:
+            logits, new_mstate = model.apply(
+                variables, batch["image"], train=True,
+                rngs={"dropout": rng}, mutable=mutable)
+            new_bstats = new_mstate.get("batch_stats", batch_stats)
+        else:
+            logits = model.apply(variables, batch["image"], train=True,
+                                 rngs={"dropout": rng})
+            new_mstate = {}
+            new_bstats = batch_stats
+        loss, metrics = loss_fn(logits, batch["mask"])
+        if aux_loss_fn is not None:
+            extra, extra_metrics = aux_loss_fn(new_mstate, batch["mask"])
+            loss = loss + extra
+            metrics.update(extra_metrics)
+            metrics["loss"] = loss
+        return loss, (metrics, new_bstats)
+
+    grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng = jax.random.fold_in(state.rng, state.step)
 
-        def compute_loss(params):
-            variables = {"params": params}
-            mutable = []
-            if has_batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                mutable.append("batch_stats")
-            if aux_loss_fn is not None:
-                mutable.append("intermediates")
-            if mutable:
-                logits, new_mstate = model.apply(
-                    variables, batch["image"], train=True,
-                    rngs={"dropout": rng}, mutable=mutable)
-                new_bstats = new_mstate.get("batch_stats",
-                                            state.batch_stats)
-            else:
-                logits = model.apply(variables, batch["image"], train=True,
-                                     rngs={"dropout": rng})
-                new_mstate = {}
-                new_bstats = state.batch_stats
-            loss, metrics = loss_fn(logits, batch["mask"])
-            if aux_loss_fn is not None:
-                extra, extra_metrics = aux_loss_fn(new_mstate, batch["mask"])
-                loss = loss + extra
-                metrics.update(extra_metrics)
-                metrics["loss"] = loss
-            return loss, (metrics, new_bstats)
+        if grad_accum <= 1:
+            (_, (metrics, new_bstats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng)
+        else:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum)
+                                    + x.shape[1:]), batch)
 
-        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
-        (_, (metrics, new_bstats)), grads = grad_fn(state.params)
+            def body(carry, inp):
+                gsum, bstats = carry
+                mb, i = inp
+                (_, (m, nb)), g = grad_fn(state.params, bstats, mb,
+                                          jax.random.fold_in(rng, i))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (gsum, nb), m
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, new_bstats), ms = jax.lax.scan(
+                body, (gzero, state.batch_stats),
+                (micro, jnp.arange(grad_accum)))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+            metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, 0), ms)
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,

@@ -33,7 +33,7 @@ def test_train2d_reference_flag_combo(tmp_path):
         "--squeezeuseffn", "--locprob", "0.5", "--exclusive",
         "--supweight", "0.5", "--opt", "sgd", "--optfilter", "out_,query",
         "--robustaug", "brightness,contrast", "--robustaugdeg", "0.7,1.3",
-        "--maxiter", "2", "--saveiter", "2", "--bs", "2",
+        "--maxiter", "2", "--saveiter", "2", "--bs", "2", "--gradaccum", "2",
         "--origsize", "64", "--patchsize", "64",
         "--dataroot", str(data_root), "--ckptdir", str(tmp_path / "model"),
         "--ndevices", "1",
