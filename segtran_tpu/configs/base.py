@@ -26,6 +26,7 @@ BACKBONE_FEAT_DIMS = {
     "resnet34":  (64, 64, 128, 256, 512),
     "resnet50":  (64, 256, 512, 1024, 2048),
     "resnet101": (64, 256, 512, 1024, 2048),
+    "eff-tiny":  (8, 8, 16, 40, 448),
     "eff-b0":    (16, 24, 40, 112, 1280),
     "eff-b1":    (16, 24, 40, 112, 1280),
     "eff-b2":    (16, 24, 48, 120, 1408),

@@ -35,6 +35,11 @@ import jax.numpy as jnp
 
 # name: (width_coefficient, depth_coefficient, nominal_resolution, dropout)
 EFFICIENTNET_PARAMS = {
+    # eff-tiny is ours (no reference counterpart): the minimal legal scaling
+    # of the B0 block table (1 repeat per segment, narrowest widths) used by
+    # the multi-chip dryrun and compile-latency-sensitive tests, where the
+    # 1-core CPU host cannot afford compiling 16 MBConv blocks.
+    "eff-tiny": (0.35, 0.1, 64, 0.2),
     "eff-b0": (1.0, 1.0, 224, 0.2),
     "eff-b1": (1.0, 1.1, 240, 0.2),
     "eff-b2": (1.1, 1.2, 260, 0.3),
