@@ -74,7 +74,7 @@ def test_grad_accum_segtran2d_smoke():
     from segtran_tpu.nn.init import init_with_reference_schemes
 
     cfg = Segtran2dConfig(
-        backbone_type="eff-b0", num_classes=3, num_attractors=8,
+        backbone_type="eff-tiny", num_classes=3, num_attractors=8,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     ).derive(translayer_compress_ratios=(1.0, 4.0))
     model = Segtran2d(cfg)

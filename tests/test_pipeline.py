@@ -98,7 +98,7 @@ def test_translayer_pipeline_matches_encoder(squeezed):
     S = 4
     mesh = _mesh(S)
     cfg = Segtran2dConfig(
-        backbone_type="eff-b0", num_classes=3, num_attractors=8,
+        backbone_type="eff-tiny", num_classes=3, num_attractors=8,
         use_squeezed_transformer=squeezed,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     ).derive(translayer_compress_ratios=(1.0,) * (S + 1))
@@ -147,7 +147,7 @@ def test_hetero_translayer_pipeline_layercompress(squeezed):
     S = 3
     mesh = _mesh(S)
     cfg = Segtran2dConfig(
-        backbone_type="eff-b0", num_classes=3, num_attractors=8,
+        backbone_type="eff-tiny", num_classes=3, num_attractors=8,
         use_squeezed_transformer=squeezed,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     ).derive(translayer_compress_ratios=(1.0, 1.0, 2.0, 2.0))

@@ -16,8 +16,11 @@ from segtran_tpu.parallel.mesh import (make_mesh, replicate_to_mesh,
 
 
 def tiny_model():
+    # eff-tiny: sharding/training-loop semantics are identical to eff-b4 but
+    # the 1-core CPU host can afford the compile (eff-b0 parity vs the torch
+    # oracle is covered by test_segtran2d_parity / test_eff_backbone_convert).
     cfg = Segtran2dConfig(
-        backbone_type="eff-b0", num_classes=3, num_attractors=8,
+        backbone_type="eff-tiny", num_classes=3, num_attractors=8,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
     ).derive(translayer_compress_ratios=(1.0, 4.0))
     return Segtran2d(cfg), cfg
