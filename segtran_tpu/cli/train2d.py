@@ -467,11 +467,14 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     has_aux = (disc_model is not None or recon_model is not None
                or bool(vcdr_models))
     grad_accum = max(1, int(getattr(args, "grad_accum", 1)))
-    if grad_accum > 1 and (has_aux or contrast_bank is not None):
-        # source-domain batches / feature banks are whole-batch structures;
-        # microbatching them is a different algorithm, not an optimization
+    if grad_accum > 1 and (has_aux or contrast_bank is not None
+                           or args.use_attn_consist_loss):
+        # source-domain batches / feature banks are whole-batch structures,
+        # and the 2D attn-consistency loss is batch-joint (shared
+        # cnt=sum(inconsistent) denominator + cap-at-1, da.py); microbatching
+        # them is a different algorithm, not an optimization
         raise ValueError("--gradaccum > 1 is supported for the supervised "
-                         "path only (no DA/recon/vCDR/contrast)")
+                         "path only (no DA/recon/vCDR/contrast/attnconsist)")
     attn_diag_on = getattr(args, "attn_diag_cycles", 0) > 0
     need_inter = (disc_model is not None and args.adversarial_mode == "feat") \
         or args.use_attn_consist_loss or recon_model is not None \
@@ -742,6 +745,24 @@ def main(argv=None):
     if args.grad_accum > 1 and args.batch_size % args.grad_accum:
         raise ValueError(f"--gradaccum {args.grad_accum} must divide "
                          f"--bs {args.batch_size}")
+    if args.grad_accum > 1 and args.use_attn_consist_loss:
+        # fail fast (before the multi-minute model init); make_full_step
+        # enforces the same rule for the model-dependent aux losses
+        raise ValueError("--gradaccum > 1 is incompatible with "
+                         "--attnconsist: the 2D attention-consistency loss "
+                         "is batch-joint (shared inconsistent-count "
+                         "denominator), so microbatching changes its value")
+    if args.grad_accum > 1:
+        # each microbatch is itself sharded over the data axis; a microbatch
+        # not divisible by it forces GSPMD resharding/replication, erasing
+        # the memory benefit (or failing at trace time)
+        _nd = args.ndevices if args.ndevices > 0 else len(jax.devices())
+        _dp = _nd // max(args.tensor_parallel, 1)
+        if (args.batch_size // args.grad_accum) % _dp:
+            raise ValueError(
+                f"microbatch size {args.batch_size // args.grad_accum} "
+                f"(--bs {args.batch_size} / --gradaccum {args.grad_accum}) "
+                f"must be divisible by the data-parallel device count {_dp}")
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_input_size", args.orig_input_size),
                             ("patch_size", args.patch_size)):

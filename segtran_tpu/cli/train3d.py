@@ -166,6 +166,15 @@ def main(argv=None):
     if args.grad_accum > 1 and args.batch_size % args.grad_accum:
         raise ValueError(f"--gradaccum {args.grad_accum} must divide "
                          f"--bs {args.batch_size}")
+    if args.grad_accum > 1:
+        # see train2d.py: microbatches must stay divisible by the data axis
+        _nd = args.ndevices if args.ndevices > 0 else len(jax.devices())
+        _dp = _nd // max(args.tensor_parallel, 1)
+        if (args.batch_size // args.grad_accum) % _dp:
+            raise ValueError(
+                f"microbatch size {args.batch_size // args.grad_accum} "
+                f"(--bs {args.batch_size} / --gradaccum {args.grad_accum}) "
+                f"must be divisible by the data-parallel device count {_dp}")
     task = dict(TASK_SETTINGS[args.task_name])
     for field, override in (("orig_patch_size", args.orig_patch_size),
                             ("input_patch_size", args.input_patch_size)):

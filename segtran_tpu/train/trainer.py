@@ -123,10 +123,12 @@ def make_train_step(model, tx: optax.GradientTransformation,
     single optimizer update -- effective batch sizes beyond what one chip's
     HBM can hold in a single backward (the reference has no counterpart; on
     GPU it would simply OOM, train2d.py:1134). Activation memory is that of
-    ONE microbatch; BatchNorm statistics update sequentially per microbatch
-    (the usual momentum EMA makes this equivalent to running smaller steps,
-    not a numerics change to the gradient, which stays an exact full-batch
-    mean because every microbatch loss is itself a mean over its samples).
+    ONE microbatch. For BatchNorm-free models the gradient is the exact
+    full-batch mean (every microbatch loss is itself a mean over its
+    samples). With BatchNorm, normalization statistics are computed per
+    microbatch -- forward activations (and hence gradients) match training
+    at the smaller batch size, while only the momentum-EMA running stats
+    thread sequentially through the scan.
     """
 
     def compute_loss(params, batch_stats, batch, rng):

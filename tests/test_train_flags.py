@@ -261,3 +261,25 @@ def test_train3d_25d_dgroup(tmp_path):
         "--ndevices", "1",
     ])
     assert os.path.isdir(os.path.join(ckpt_dir, "iter_1"))
+
+
+def test_train2d_gradaccum_guards(tmp_path):
+    """--gradaccum arg-validation fails fast, before model init: batch-joint
+    attn-consistency loss is rejected, and the microbatch must stay
+    divisible by the data-parallel device count (GSPMD resharding would
+    otherwise erase the memory benefit)."""
+    data_root = _fixture(tmp_path)
+    from segtran_tpu.cli.train2d import main
+    common = [
+        "--task", "fundus", "--split", "all", "--net", "segtran",
+        "--bb", "eff-tiny", "--translayers", "1", "--attractors", "8",
+        "--maxiter", "1", "--saveiter", "1",
+        "--origsize", "64", "--patchsize", "64",
+        "--dataroot", str(data_root), "--ckptdir", str(tmp_path / "model"),
+    ]
+    with pytest.raises(ValueError, match="attn"):
+        main(common + ["--bs", "4", "--gradaccum", "2", "--attnconsist",
+                       "--ndevices", "1"])
+    with pytest.raises(ValueError, match="data-parallel"):
+        # bs 4 / accum 2 -> microbatch 2, not divisible by 4 data devices
+        main(common + ["--bs", "4", "--gradaccum", "2", "--ndevices", "4"])
