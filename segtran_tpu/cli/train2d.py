@@ -267,11 +267,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def load_stats(args, ds_name):
-    if args.stats_json and os.path.isfile(args.stats_json):
-        with open(args.stats_json) as f:
-            stats = json.load(f)
-        return (tuple(stats["mean"][ds_name]), tuple(stats["std"][ds_name]))
-    return ((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    """Per-dataset normalization stats, auto-selected by task + --gray alpha
+    like the reference (train2d.py:406-414); --stats overrides."""
+    from ..data.stats import load_dataset_stats
+    return load_dataset_stats(args.task_name, getattr(args, "gray_alpha", 0.5),
+                              ds_name, stats_json=args.stats_json)
 
 
 def build_model_and_config(args, task):

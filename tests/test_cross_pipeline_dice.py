@@ -20,6 +20,7 @@ IDENTITY here (fixture images are already 576x576; we pass --gray 0), so the
 stubs below only need to satisfy the imports, and common_aug_func=None is
 faithful. cuda calls are shimmed to CPU.
 """
+import json
 import os
 import shutil
 import sys
@@ -168,6 +169,14 @@ def test_cross_pipeline_dice(tmp_path, monkeypatch):
     conv_dir = str(tmp_path / "converted")
     convert_pth(pth_path, conv_dir, "segtran2d")
 
+    # both pipelines must normalize identically: the torch side above uses
+    # the fixed MEAN/STD, so pin ours via --stats (otherwise the CLI
+    # auto-selects the built-in fundus gray-alpha table, data/stats.py)
+    stats_path = str(tmp_path / "stats.json")
+    with open(stats_path, "w") as f:
+        json.dump({"mean": {"train": list(MEAN)},
+                   "std": {"train": list(STD)}}, f)
+
     from segtran_tpu.cli.test2d import main as eval_main
     results = eval_main([
         "--task", "fundus", "--ds", "train", "--split", "all",
@@ -175,7 +184,7 @@ def test_cross_pipeline_dice(tmp_path, monkeypatch):
         "--translayers", "2", "--layercompress", "1,1,2",
         "--attractors", "8", "--cpdir", conv_dir, "--iters", "100",
         "--bs", "2", "--origsize", "576", "--patchsize", "96",
-        "--gray", "0", "--vcdr",
+        "--gray", "0", "--vcdr", "--stats", stats_path,
     ])
     ours = np.asarray(results[100])
     print("reference metric:", ref_metric, " ours:", ours, flush=True)
