@@ -104,3 +104,70 @@ def test_vcdr_csv_eval(tmp_path):
     res = vcdr_csv_eval(str(tmp_path / "pred.csv"), str(tmp_path / "gt.csv"))
     assert res["n"] == 2
     np.testing.assert_allclose(res["mae"], 0.05, atol=1e-6)
+
+
+def test_tsne_features(tmp_path):
+    """--savefeat dump -> 2D t-SNE embedding (tools/analysis.py; reference
+    tsne.py). Small synthetic blob features; sklearn path if installed,
+    SVD fallback otherwise."""
+    import numpy as np
+    from segtran_tpu.tools.analysis import dump_pixel_features, tsne_features
+
+    rng = np.random.RandomState(0)
+    h = w = 16
+    feat = rng.randn(h, w, 8).astype(np.float32)
+    mask = (rng.rand(h, w) > 0.5).astype(np.int32)
+    feat[mask == 1] += 4.0  # separable classes
+    path = str(tmp_path / "feat.npz")
+    dump_pixel_features(feat, mask, path, max_pixels=128, seed=0)
+
+    emb, labels = tsne_features(path, perplexity=10.0, seed=0)
+    assert emb.shape == (128, 2) and labels.shape == (128,)
+    assert np.all(np.isfinite(emb))
+    assert set(np.unique(labels)) <= {0, 1}
+
+
+def test_surface_metrics_medpy_absent_nan(monkeypatch):
+    """Without medpy, hd95/asd come back NaN (and the startup line says so)
+    instead of crashing -- reference relies on medpy being installed
+    (test_util3d.py:196-206)."""
+    import builtins
+    import logging
+    import numpy as np
+    from segtran_tpu.infer import metrics
+
+    real_import = builtins.__import__
+
+    def no_medpy(name, *a, **k):
+        if name.startswith("medpy"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_medpy)
+    assert not metrics.have_medpy()
+    pred = np.zeros((8, 8, 8), np.uint8)
+    pred[2:5, 2:5, 2:5] = 1
+    gt = np.zeros_like(pred)
+    gt[3:6, 3:6, 3:6] = 1
+    hd95, asd = metrics.surface_metrics(pred, gt)
+    assert np.isnan(hd95) and np.isnan(asd)
+
+    records = []
+
+    class Cap:
+        def info(self, msg, *args):
+            records.append(msg % args if args else msg)
+
+    metrics.log_metric_stack(Cap())
+    assert any("medpy not installed" in r for r in records)
+
+
+def test_surface_metrics_empty_mask_nan():
+    """Empty pred or gt -> (nan, nan) regardless of medpy availability."""
+    import numpy as np
+    from segtran_tpu.infer.metrics import surface_metrics
+
+    pred = np.zeros((4, 4, 4), np.uint8)
+    gt = np.ones((4, 4, 4), np.uint8)
+    hd95, asd = surface_metrics(pred, gt)
+    assert np.isnan(hd95) and np.isnan(asd)
