@@ -143,8 +143,13 @@ def bench_fundus_train():
                                            make_train_step,
                                            create_train_state)
 
+    # remat_blocks: per-MBConv jax.checkpoint (round-4 backward-HBM fix;
+    # train2d default). On-chip A/B (_prof_remat.py, bs6 grad): 169.7 GB /
+    # 179.4 ms -> 136.5 GB / 152.8 ms; exact numerics
+    # (test_remat_blocks_grad_parity).
     cfg = Segtran2dConfig(
         backbone_type="eff-b4", num_classes=3, dtype=jnp.bfloat16,
+        remat_blocks=True,
     ).derive(translayer_compress_ratios=(1.0, 1.0, 2.0, 2.0))
     model = Segtran2d(cfg)
     x = jnp.zeros((TRAIN_BATCH, 288, 288, 3), jnp.float32)

@@ -252,6 +252,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="bfloat16 compute (recommended on TPU)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches in HBM)")
+    p.add_argument("--norematblocks", dest="remat_blocks",
+                   action="store_false", default=True,
+                   help="disable per-MBConv-block rematerialization of the "
+                        "CNN backbone (on by default: exact numerics, the "
+                        "backward recomputes block internals instead of "
+                        "streaming ~128GB of BN/silu/SE intermediates from "
+                        "HBM -- round-4 profiling)")
     p.add_argument("--gradaccum", dest="grad_accum", type=int, default=1,
                    help="accumulate gradients over N microbatches per step "
                         "(exact full-batch mean; activation memory of one "
@@ -307,6 +314,7 @@ def build_model_and_config(args, task):
             use_fused_attention=getattr(args, "use_fused_attention", False),
             use_fused_epilogue=getattr(args, "use_fused_epilogue", False),
             remat=getattr(args, "remat", False),
+            remat_blocks=getattr(args, "remat_blocks", False),
             scan_blocks=getattr(args, "scan_blocks", False),
             pos_code_type=args.pos_code_type,
             use_mince_transformer=getattr(args, "use_mince_transformer",

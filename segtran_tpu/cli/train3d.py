@@ -147,6 +147,11 @@ def build_argparser():
                         "(eval legs; training steps keep the XLA path)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches in HBM)")
+    p.add_argument("--norematblocks", dest="remat_blocks",
+                   action="store_false", default=True,
+                   help="disable per-MBConv-block rematerialization of the "
+                        "2.5D EfficientNet backbone (on by default; no "
+                        "effect on the 3D I3D backbone)")
     p.add_argument("--gradaccum", dest="grad_accum", type=int, default=1,
                    help="accumulate gradients over N microbatches per step "
                         "(exact full-batch mean; activation memory of one "
@@ -280,6 +285,7 @@ def main(argv=None):
             attention_probs_dropout_prob=args.dropout_prob,
             use_attn_consist_loss=args.use_attn_consist_loss,
             remat=getattr(args, "remat", False),
+            remat_blocks=getattr(args, "remat_blocks", False),
             use_fused_attention=getattr(args, "use_fused_attention", False),
             use_fused_epilogue=getattr(args, "use_fused_epilogue", False),
             dtype=dtype,

@@ -115,6 +115,23 @@ class TransformerConfig:
     # bigger batches / whole-volume training on 16GB v5e chips.
     remat: bool = False
 
+    # Per-MBConv-block rematerialization of the CNN backbone (independent of
+    # the coarse `remat` above, composable with it): the backward recomputes
+    # each block's BN/silu/SE internals from the block input instead of
+    # streaming them from HBM. Motivation (round-4 profiling, _prof_bwd.py):
+    # in the full train step the eff-b4 backward moves ~128 GB HBM for only
+    # ~0.3 TFLOP because XLA cannot fuse the backbone's forward elementwise
+    # chains into a backward separated from them by the whole encoder;
+    # recomputing them costs ~5 ms of forward FLOPs and removes that traffic.
+    remat_blocks: bool = False
+
+    # Lower the EfficientNet depthwise convs as shifted-slice stencils
+    # (ops/depthwise.py) instead of grouped-conv primitives: identical math
+    # and param tree; XLA fuses the stencil (and its backward) into
+    # single-pass elementwise loops instead of the materialization-heavy
+    # grouped-conv gradient lowering found in round-4 profiling.
+    dw_stencil: bool = False
+
     # lax.scan over each EfficientNet segment's identical MBConv repeats
     # (stacked params): identical eval numerics, much smaller HLO -> faster
     # first compile through the remote-compile tunnel. Changes the param

@@ -84,6 +84,8 @@ class Segtran25d(nn.Module):
             feats = wrap(EfficientNetFeatures)(
                 variant=cfg.backbone_type,
                 stem_stride=1 if cfg.bb_feat_upsize else 2,
+                remat_blocks=cfg.remat_blocks,
+                dw_stencil=cfg.dw_stencil,
                 bn_axis_name=self.bn_axis_name, dtype=dt,
                 name="backbone")(fake2d, train)
         else:

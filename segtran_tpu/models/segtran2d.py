@@ -52,6 +52,8 @@ class Segtran2d(nn.Module):
                 variant=cfg.backbone_type,
                 stem_stride=1 if cfg.bb_feat_upsize else 2,
                 scan_blocks=cfg.scan_blocks,
+                remat_blocks=cfg.remat_blocks,
+                dw_stencil=cfg.dw_stencil,
                 bn_axis_name=self.bn_axis_name, dtype=cfg.dtype,
                 name="backbone")
         if cfg.backbone_type.startswith("effv2"):

@@ -139,15 +139,71 @@ def build_block_specs(variant: str, stem_stride: int = 2,
             head_filters, stem_pad)
 
 
+class FoldedBatchNorm(nn.Module):
+    """BatchNorm with the normalize reassociated into one per-channel affine:
+    ``y = x * a + b`` with ``a = scale * rsqrt(var + eps)`` and
+    ``b = bias - mean * a`` computed in f32 on [C]-vectors, the big [B,H,W,C]
+    multiply-add applied in the compute ``dtype``.
+
+    Same math as flax ``nn.BatchNorm`` (exact reassociation; stats reductions
+    and running-average updates stay f32) and the identical param/batch_stats
+    tree (scale/bias, mean/var), so checkpoints and the torch converter are
+    unaffected. Motivation (round-4 train-step profiling): flax's
+    ``_normalize`` promotes the whole elementwise chain to f32
+    (force_float32_reductions), so under bf16 training every BN in the
+    backbone materializes f32 [B,H,W,C] intermediates at fusion boundaries
+    that the backward must stream from HBM; the folded bf16 affine halves
+    that traffic and drops the convert round-trips.
+
+    TF eps 1e-3 / momentum 0.99 like the reference backbone (reference
+    code/efficientnet/model.py:112-118); axis_name syncs batch stats across
+    data-parallel devices (replaces torch SyncBatchNorm, train2d.py:1109)."""
+    use_running_average: bool = True
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x):
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feats,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feats,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feats,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feats,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            # biased variance, no clamp -- matches flax _compute_stats
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return x * a.astype(self.dtype) + b.astype(self.dtype)
+
+
 def _BN(use_running_average=True, axis_name=None, dtype=jnp.float32,
         name=None):
     """BatchNorm with TF eps/momentum; optional cross-replica sync via
-    axis_name (replaces the reference's SyncBatchNorm under DDP,
-    train2d.py:1109). Plain constructor (not a wrapper module) so the param
-    path matches the torch attribute name exactly."""
-    return nn.BatchNorm(use_running_average=use_running_average,
-                        momentum=0.99, epsilon=1e-3, dtype=dtype,
-                        axis_name=axis_name, name=name)
+    axis_name. Plain constructor (not a wrapper module) so the param path
+    matches the torch attribute name exactly. Folded-affine implementation
+    (FoldedBatchNorm) -- same tree/math as nn.BatchNorm, bf16-friendly."""
+    return FoldedBatchNorm(use_running_average=use_running_average,
+                           axis_name=axis_name, dtype=dtype, name=name)
 
 
 def _drop_connect(x, rate, deterministic, rng):
@@ -203,6 +259,10 @@ class MBConvBlock(nn.Module):
     # eval-only Pallas fusion of expand+BN+swish+depthwise+BN+swish
     # (kernels/mbconv.py); training keeps the XLA path (+its backward)
     fused_eval: bool = False
+    # shifted-slice stencil depthwise instead of the grouped-conv primitive
+    # (ops/depthwise.py) -- same math/params, avoids XLA's materialization-
+    # heavy depthwise backward lowering
+    dw_stencil: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -230,9 +290,18 @@ class MBConvBlock(nn.Module):
             x = conv(expanded, 1, 1, "_expand_conv")(x)
             x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn0")(x)
             x = nn.silu(x)
-        pad = s.pad if s.pad is not None else "SAME"
-        x = conv(expanded, s.kernel, s.stride, "_depthwise_conv",
-                 groups=expanded, pad=pad)(x)
+        if self.dw_stencil:
+            from ...ops.depthwise import depthwise_conv2d_stencil
+            wk = _ConvKernel((s.kernel, s.kernel, 1, expanded),
+                             name="_depthwise_conv")()
+            dwpad = (s.pad if s.pad is not None else
+                     _static_same_pad(x.shape[1:3], s.kernel, s.stride))
+            x = depthwise_conv2d_stencil(x, wk.astype(self.dtype),
+                                         (s.stride, s.stride), dwpad)
+        else:
+            pad = s.pad if s.pad is not None else "SAME"
+            x = conv(expanded, s.kernel, s.stride, "_depthwise_conv",
+                     groups=expanded, pad=pad)(x)
         x = _BN(not train, self.bn_axis_name, self.dtype, name="_bn1")(x)
         x = nn.silu(x)
         if s.se_ratio and 0 < s.se_ratio <= 1:
@@ -308,13 +377,18 @@ class _MBConvScanBody(nn.Module):
     train: bool
     bn_axis_name: Optional[str] = None
     fused_eval: bool = False
+    remat_blocks: bool = False
+    dw_stencil: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, rate):
-        y = MBConvBlock(self.spec, 0.0, self.bn_axis_name, self.fused_eval,
-                        self.dtype,
-                        name="block")(x, train=self.train, drop_rate=rate)
+        cls = (nn.remat(MBConvBlock, static_argnums=(2,))
+               if self.remat_blocks else MBConvBlock)
+        # positional (x, train, drop_rate) so static_argnums lines up
+        y = cls(self.spec, 0.0, self.bn_axis_name, self.fused_eval,
+                dw_stencil=self.dw_stencil, dtype=self.dtype,
+                name="block")(x, self.train, rate)
         return y, None
 
 
@@ -404,6 +478,13 @@ class EfficientNetFeatures(nn.Module):
     # eval-only Pallas MBConv fusion (kernels/mbconv.py); no effect on the
     # param tree or the training path
     fused_eval: bool = False
+    # per-block jax.checkpoint: backward recomputes each block's BN/silu/SE
+    # internals from the block input instead of round-tripping them through
+    # HBM (see Segtran2dConfig.remat_blocks for the profiling rationale)
+    remat_blocks: bool = False
+    # shifted-slice stencil depthwise convs (ops/depthwise.py): same math
+    # and params, avoids XLA's materialization-heavy depthwise bwd lowering
+    dw_stencil: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -420,12 +501,15 @@ class EfficientNetFeatures(nn.Module):
         x = nn.silu(x)
         endpoints = []
         n = len(blocks)
+        blk_cls = (nn.remat(MBConvBlock, static_argnums=(2,))
+                   if self.remat_blocks else MBConvBlock)
         if self.scan_blocks:
             for seg, (i0, rr) in enumerate(segment_layout(self.variant)):
                 rate0 = self.drop_connect_rate * float(i0) / n
-                x = MBConvBlock(blocks[i0], rate0, self.bn_axis_name,
-                                self.fused_eval, self.dtype,
-                                name=f"_blocks_{i0}")(x, train=train)
+                x = blk_cls(blocks[i0], rate0, self.bn_axis_name,
+                            self.fused_eval, dw_stencil=self.dw_stencil,
+                            dtype=self.dtype,
+                            name=f"_blocks_{i0}")(x, train)
                 if rr > 1:
                     rates = jnp.asarray(
                         [self.drop_connect_rate * float(i0 + j) / n
@@ -436,16 +520,18 @@ class EfficientNetFeatures(nn.Module):
                         split_rngs={"params": True, "dropout": True},
                         in_axes=0, length=rr - 1)
                     x, _ = scan(blocks[i0 + 1], train, self.bn_axis_name,
-                                self.fused_eval, self.dtype,
+                                self.fused_eval, self.remat_blocks,
+                                self.dw_stencil, self.dtype,
                                 name=f"_blocks_scan_{seg}")(x, rates)
                 if (i0 + rr) in ep_idx:
                     endpoints.append(x)
         else:
             for i, spec in enumerate(blocks):
                 rate = self.drop_connect_rate * float(i) / n
-                x = MBConvBlock(spec, rate, self.bn_axis_name,
-                                self.fused_eval, self.dtype,
-                                name=f"_blocks_{i}")(x, train=train)
+                x = blk_cls(spec, rate, self.bn_axis_name,
+                            self.fused_eval, dw_stencil=self.dw_stencil,
+                            dtype=self.dtype,
+                            name=f"_blocks_{i}")(x, train)
                 if (i + 1) in ep_idx:
                     # endpoint is the input of the next segment's first
                     # block, i.e. this block's output -- reference captures

@@ -84,3 +84,60 @@ def test_remat_forward_parity_and_grad():
     total = sum(float(jnp.sum(jnp.abs(v)))
                 for v in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_remat_blocks_grad_parity():
+    """cfg.remat_blocks (per-MBConv jax.checkpoint, the round-4 backward-HBM
+    fix) must leave forward logits AND gradients identical to the baseline --
+    rematerialization is exact recomputation, not an approximation."""
+    import dataclasses
+    base = Segtran2dConfig(
+        backbone_type="eff-tiny", num_classes=2, num_attractors=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    ).derive(translayer_compress_ratios=(1.0, 2.0))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    m1 = Segtran2d(base)
+    m2 = Segtran2d(dataclasses.replace(base, remat_blocks=True))
+    params, rest = init_with_reference_schemes(
+        m1, {"params": jax.random.PRNGKey(0)}, x)
+
+    def make_loss(m):
+        def loss(p):
+            out, _ = m.apply({"params": p, **rest}, x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(3)},
+                             mutable=["batch_stats"])
+            return jnp.mean(out ** 2)
+        return loss
+
+    o1 = m1.apply({"params": params, **rest}, x, train=False)
+    o2 = m2.apply({"params": params, **rest}, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+    g1 = jax.jit(jax.grad(make_loss(m1)))(params)
+    g2 = jax.jit(jax.grad(make_loss(m2)))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g1, g2)
+
+
+def test_dw_stencil_model_parity():
+    """cfg.dw_stencil (shifted-slice depthwise lowering) must produce the
+    same logits and param tree as the grouped-conv path -- exact math, only
+    the K^2 tap summation is reassociated."""
+    import dataclasses
+    base = Segtran2dConfig(
+        backbone_type="eff-tiny", num_classes=2, num_attractors=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    ).derive(translayer_compress_ratios=(1.0, 2.0))
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+    m1 = Segtran2d(base)
+    m2 = Segtran2d(dataclasses.replace(base, dw_stencil=True))
+    params, rest = init_with_reference_schemes(
+        m1, {"params": jax.random.PRNGKey(0)}, x)
+    params2, _ = init_with_reference_schemes(
+        m2, {"params": jax.random.PRNGKey(0)}, x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params2))
+    o1 = m1.apply({"params": params, **rest}, x, train=False)
+    o2 = m2.apply({"params": params, **rest}, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-4, atol=1e-5)

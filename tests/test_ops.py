@@ -112,3 +112,40 @@ def test_vcdr():
     # max 1-based occupied index. Disc rows 4..15 -> 16; cup rows 8..11 -> 12.
     np.testing.assert_allclose(v[0], 12.0 / (16 + 1e-4), rtol=1e-4)
     np.testing.assert_allclose(v[1], 10.0 / (18 + 1e-4), rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,s,pad", [
+    (3, 1, ((1, 1), (1, 1))),
+    (5, 2, ((1, 2), (2, 1))),   # asymmetric TF-SAME-style pad
+    (3, 2, ((0, 1), (0, 1))),
+])
+def test_depthwise_stencil_matches_grouped_conv(k, s, pad):
+    """ops/depthwise.py shifted-slice stencil == flax grouped conv, forward
+    and gradient (the round-4 backward-HBM lowering fix; same param layout)."""
+    import jax
+    from flax import linen as nn
+    from segtran_tpu.ops.depthwise import depthwise_conv2d_stencil
+
+    rs = np.random.RandomState(0)
+    c = 8
+    x = jnp.asarray(rs.rand(2, 17, 19, c), jnp.float32)
+    w = jnp.asarray(rs.rand(k, k, 1, c), jnp.float32)
+    conv = nn.Conv(c, (k, k), strides=(s, s), padding=pad,
+                   feature_group_count=c, use_bias=False)
+    y_conv = conv.apply({"params": {"kernel": w}}, x)
+    y_st = depthwise_conv2d_stencil(x, w, (s, s), pad)
+    np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_conv),
+                               rtol=1e-5, atol=1e-5)
+
+    gw_conv = jax.grad(lambda w_: jnp.sum(
+        conv.apply({"params": {"kernel": w_}}, x) ** 2))(w)
+    gw_st = jax.grad(lambda w_: jnp.sum(
+        depthwise_conv2d_stencil(x, w_, (s, s), pad) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(gw_st), np.asarray(gw_conv),
+                               rtol=1e-4, atol=1e-4)
+    gx_conv = jax.grad(lambda x_: jnp.sum(
+        conv.apply({"params": {"kernel": w}}, x_) ** 2))(x)
+    gx_st = jax.grad(lambda x_: jnp.sum(
+        depthwise_conv2d_stencil(x_, w, (s, s), pad) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx_st), np.asarray(gx_conv),
+                               rtol=1e-4, atol=1e-4)
