@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -53,6 +54,11 @@ def _auto_tiles(nq: int, n: int) -> tuple:
     waste) as well as for any nq >= 4096 (<=25% waste)."""
     tile_q = 1024 if (nq >= 4096 or (nq >= 1024 and nq % 1024 == 0)) else 256
     tile_n = 1024 if n >= 4096 else 512
+    # On-chip tile-tuning knob (sweeps without replumbing call sites; hits
+    # every path incl. the trainable wrapper's forward). The committed
+    # defaults above stay authoritative when the env vars are unset.
+    tile_q = int(os.environ.get("SEGTRAN_FLASH_TILE_Q", tile_q))
+    tile_n = int(os.environ.get("SEGTRAN_FLASH_TILE_N", tile_n))
     return tile_q, tile_n
 
 

@@ -26,6 +26,24 @@ def test_fused_cross_attention_matches_reference(g, q, n, d, f):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_flash_tile_env_override(monkeypatch):
+    """SEGTRAN_FLASH_TILE_Q/N (on-chip sweep knob) must override _auto_tiles
+    and keep exact numerics at the overridden tiling."""
+    from segtran_tpu.kernels.squeezed_attention import _auto_tiles
+    assert _auto_tiles(1296, 8640) == (256, 1024)
+    monkeypatch.setenv("SEGTRAN_FLASH_TILE_Q", "512")
+    monkeypatch.setenv("SEGTRAN_FLASH_TILE_N", "256")
+    assert _auto_tiles(1296, 8640) == (512, 256)
+    rng = np.random.RandomState(7)
+    Q = jnp.asarray(rng.randn(2, 200, 64).astype(np.float32) * 0.2)
+    K = jnp.asarray(rng.randn(2, 300, 64).astype(np.float32) * 0.2)
+    V = jnp.asarray(rng.randn(2, 300, 96).astype(np.float32))
+    out = fused_cross_attention(Q, K, V, interpret=True)
+    ref = cross_attention_reference(Q, K, V)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_cross_attention_clamp():
     """Rows with huge scores must clamp like the oracle."""
     rng = np.random.RandomState(1)
