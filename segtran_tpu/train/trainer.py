@@ -196,10 +196,20 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 
 def create_train_state(params, batch_stats, tx, rng) -> TrainState:
-    state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
-                       batch_stats=batch_stats, opt_state=tx.init(params),
-                       rng=rng)
-    # De-alias leaves: jax caches identical constants (e.g. the optimizer's
-    # zero moments), and donating a state with two leaves sharing one buffer
-    # fails ("attempt to donate the same buffer twice").
-    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+    # One jitted program instead of eager per-leaf dispatch: tx.init +
+    # the de-alias copy are ~4 ops per param leaf, and through the remote
+    # TPU tunnel eager dispatch is round-trip bound (CLAUDE.md) -- on the
+    # CLI startup path this was minutes of silent wall clock.
+    def build(params, batch_stats, rng):
+        state = TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                           batch_stats=batch_stats, opt_state=tx.init(params),
+                           rng=rng)
+        # De-alias leaves: jax caches identical constants (e.g. the
+        # optimizer's zero moments), and donating a state with two leaves
+        # sharing one buffer fails ("attempt to donate the same buffer
+        # twice"). Inside jit each output is a distinct allocation, and the
+        # copy keeps that true if XLA ever aliases.
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                      state)
+
+    return jax.jit(build)(params, batch_stats, rng)
