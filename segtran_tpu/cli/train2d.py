@@ -453,7 +453,7 @@ def _da_feature(inter):
 
 def make_full_step(model, tx, task, args, aug_cfg, patch_size,
                    disc_model=None, recon_model=None, vcdr_models=None,
-                   contrast_bank=None):
+                   contrast_bank=None, ds_stats=None, src_stats=None):
     """Train step over RAW batches: on-device label map -> augment ->
     downscale to patch_size -> model -> loss [+ attention consistency,
     reconstruction, domain-adversarial, vCDR-estimation losses -- reference
@@ -511,13 +511,28 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     def step(state, batch):
         rng = jax.random.fold_in(state.rng, state.step + 77)
         mask = map_mask(batch["mask"])
-        image, mask = augment_batch_2d(rng, batch["image"], mask, aug_cfg)
+        if ds_stats is not None and "ds_idx" in batch:
+            # per-sample stats lookup: each sample normalizes with its own
+            # dataset's (mean, std) as the reference does by constructing one
+            # transform per ds_name (train_util.py:100-106)
+            mu = jnp.asarray(ds_stats[0])[batch["ds_idx"]]
+            sd = jnp.asarray(ds_stats[1])[batch["ds_idx"]]
+            image, mask = augment_batch_2d(rng, batch["image"], mask,
+                                           aug_cfg, mu, sd)
+        else:
+            image, mask = augment_batch_2d(rng, batch["image"], mask, aug_cfg)
         image_small = resize_linear(image, patch_size)
         drng = jax.random.fold_in(rng, 1)
         if "source_image" in batch and disc_model is not None:
+            # the DA source domain gets ITS OWN stats (reference
+            # train2d.py:884-918 builds the source loader with the source
+            # ds_name's transform), not the target's
+            src_mu, src_sd = src_stats if src_stats is not None else \
+                (None, None)
             src_aug, _ = augment_batch_2d(
                 jax.random.fold_in(rng, 3), batch["source_image"],
-                jnp.zeros(batch["source_image"].shape[:3] + (1,)), aug_cfg)
+                jnp.zeros(batch["source_image"].shape[:3] + (1,)), aug_cfg,
+                src_mu, src_sd)
             batch = dict(batch, source_image=src_aug)
 
         # image_small/mask/drng are bound as defaults so --gradaccum can call
@@ -803,7 +818,19 @@ def main(argv=None):
             out_size=task["orig_input_size"], seed=args.seed))
     dataset = ConcatDataset(datasets) if len(datasets) > 1 else datasets[0]
     logger.info("%d training samples", len(dataset))
-    mean, std = load_stats(args, ds_names[0])
+    # one (mean, std) per dataset, like the reference's per-ds_name transform
+    # dict (train_util.py:100-106); the first ds seeds the static Aug2dConfig
+    # (single-ds runs and the eval-side default), multi-ds runs get a
+    # [D, C] lookup table indexed by the per-sample ds_idx
+    all_stats = [load_stats(args, name) for name in ds_names]
+    mean, std = all_stats[0]
+    ds_stats = None
+    if len(ds_names) > 1:
+        ds_stats = (np.asarray([s[0] for s in all_stats], np.float32),
+                    np.asarray([s[1] for s in all_stats], np.float32))
+        for name, (m_i, s_i) in zip(ds_names, all_stats):
+            logger.info("normalization stats for %s: mean=%s std=%s",
+                        name, m_i, s_i)
     rdeg = tuple(float(v) for v in
                  str(getattr(args, "robust_aug_degrees", "0.5,1.5")
                      ).split(","))
@@ -926,6 +953,7 @@ def main(argv=None):
     # ---- auxiliary DA modules (reference train2d.py:884-932) ----
     disc_model = recon_model = vcdr_models = None
     source_dataset = None
+    src_stats = None
     use_vcdr = (args.task_name == "fundus"
                 and args.vcdr_estim_scheme != "none")
     if args.adversarial_mode or args.recon_w > 0 or use_vcdr:
@@ -955,6 +983,12 @@ def main(argv=None):
                 out_size=task["orig_input_size"], seed=args.seed)
             logger.info("%d source-domain samples for adversarial DA",
                         len(source_dataset))
+            # the source domain normalizes with its OWN stats table, not the
+            # target's (reference train2d.py:884-918 gives the source loader
+            # the source ds_name's transform via train_util.py:100)
+            src_stats = load_stats(args, args.source_ds_name)
+            logger.info("source-domain stats (%s): mean=%s std=%s",
+                        args.source_ds_name, src_stats[0], src_stats[1])
         if args.recon_w > 0:
             class ReconHead(fnn.Module):
                 @fnn.compact
@@ -1018,7 +1052,8 @@ def main(argv=None):
                              tuple(task["patch_size"]),
                              disc_model=disc_model, recon_model=recon_model,
                              vcdr_models=vcdr_models,
-                             contrast_bank=contrast_bank)
+                             contrast_bank=contrast_bank,
+                             ds_stats=ds_stats, src_stats=src_stats)
     tp = max(args.tensor_parallel, 1)
     if tp > 1:
         if n_dev % tp:
@@ -1082,10 +1117,12 @@ def main(argv=None):
             batch["source_image"] = src["image"]
             yield batch
 
+    batch_keys = (("image", "mask", "ds_idx") if ds_stats is not None
+                  else ("image", "mask"))
     while iter_num < args.maxiter:
         it = with_source(batch_iterator(dataset, args.batch_size, epoch,
                                         seed=args.seed,
-                                        keys=("image", "mask")))
+                                        keys=batch_keys))
         for batch in prefetch_to_device(it, sharding=batch_sharding):
             state, metrics = sharded_step(state, batch)
             iter_num += 1

@@ -23,6 +23,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.resize import resize_linear
 
@@ -221,9 +222,13 @@ def _color_jitter(key, image):
 
 
 def augment_sample_2d(key: jax.Array, image: jnp.ndarray, mask: jnp.ndarray,
-                      cfg: Aug2dConfig):
+                      cfg: Aug2dConfig, mean=None, std=None):
     """image: [H, W, 3] float in [0,1]; mask: [H, W, C] (n-hot or raw).
-    Returns (image_normalized, mask)."""
+    Returns (image_normalized, mask). `mean`/`std` ([C] arrays) override
+    cfg.mean/cfg.std — the per-dataset path: the reference normalizes every
+    dataset in a multi-`--ds` run with its OWN stats table
+    (train_util.py:100-106), so the stats can't be baked into one static
+    Aug2dConfig."""
     keys = jax.random.split(key, 11)
     if cfg.randscale > 0:
         do = jax.random.uniform(keys[0], ()) < cfg.crop_pad_prob
@@ -267,16 +272,26 @@ def augment_sample_2d(key: jax.Array, image: jnp.ndarray, mask: jnp.ndarray,
                 image = jnp.clip(mg + (image - mg) * f, 0.0, 1.0)
             else:
                 raise ValueError(f"unknown robust_aug {kind}")
-    mean = jnp.asarray(cfg.mean)
-    std = jnp.asarray(cfg.std)
+    mean = jnp.asarray(cfg.mean) if mean is None else jnp.asarray(mean)
+    std = jnp.asarray(cfg.std) if std is None else jnp.asarray(std)
     return (image - mean) / std, mask
 
 
 def augment_batch_2d(key: jax.Array, images: jnp.ndarray, masks: jnp.ndarray,
-                     cfg: Aug2dConfig):
-    """vmapped per-sample augmentation; one fused XLA graph."""
+                     cfg: Aug2dConfig, mean=None, std=None):
+    """vmapped per-sample augmentation; one fused XLA graph.
+
+    `mean`/`std` override cfg's: [C] applies one table to the whole batch
+    (the DA source loader's own stats, reference train2d.py:884-918), [B, C]
+    applies per-sample tables (multi-dataset batches where each sample keeps
+    its source dataset's stats, reference train_util.py:100-106)."""
     keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(lambda k, i, m: augment_sample_2d(k, i, m, cfg))(
+    if mean is not None and np.ndim(mean) == 2:
+        return jax.vmap(
+            lambda k, i, m, mu, sd: augment_sample_2d(k, i, m, cfg, mu, sd))(
+            keys, images, masks, jnp.asarray(mean), jnp.asarray(std))
+    return jax.vmap(lambda k, i, m: augment_sample_2d(k, i, m, cfg,
+                                                      mean, std))(
         keys, images, masks)
 
 

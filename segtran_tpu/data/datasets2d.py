@@ -267,4 +267,9 @@ class ConcatDataset:
 
     def __getitem__(self, idx):
         ds_i = int(np.searchsorted(self.offsets, idx, side="right") - 1)
-        return self.datasets[ds_i][idx - int(self.offsets[ds_i])]
+        sample = self.datasets[ds_i][idx - int(self.offsets[ds_i])]
+        # tag the source dataset so the train step can normalize each sample
+        # with its own dataset's stats (reference train_util.py:100-106
+        # builds one transform per ds_name; a concatenated loader here means
+        # the stats lookup must ride with the sample instead)
+        return dict(sample, ds_idx=np.int32(ds_i))
