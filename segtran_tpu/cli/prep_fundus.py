@@ -147,15 +147,17 @@ def _build_model_fn(args):
     mean = jnp.asarray((0.5, 0.5, 0.5))
     std = jnp.asarray((0.25, 0.25, 0.25))
 
+    # variables as jit argument (closed-over params become HLO constants ->
+    # axon remote-compile HTTP 413 at large-backbone scale)
     @jax.jit
-    def model_fn(image):
+    def _model_fn(variables, image):
         x = (image - mean) / std
         logits = model.apply(variables, x[None], train=False)
         probs = jax.nn.sigmoid(logits[0])
         return jax.image.resize(probs, image.shape[:2] + probs.shape[-1:],
                                 "linear")
 
-    return model_fn
+    return lambda image: _model_fn(variables, image)
 
 
 def build_argparser():

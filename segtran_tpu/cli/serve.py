@@ -166,17 +166,18 @@ class InferenceEngine:
             x = (1 - gray_alpha) * image + gray_alpha * gray
             return (x - mean_a) / std_a
 
-        def model_fn(image):
-            return model.apply(variables, _preproc(image), train=False)
-
         B = args.maxbatch
 
+        # variables ride as a jit argument (closed-over params become HLO
+        # constants -> axon remote-compile HTTP 413 at eff-b4 scale)
         @jax.jit
-        def batched(batch):                     # [B, *orig, 3] in [0,1]
+        def _batched(variables, batch):         # [B, *orig, 3] in [0,1]
+            def model_fn(image):
+                return model.apply(variables, _preproc(image), train=False)
             return sliding_window_2d(model_fn, batch, self.orig, patch,
                                      num_classes=self.num_classes)
 
-        self._batched = batched
+        self._batched = lambda batch: _batched(variables, batch)
         self._jnp = jnp
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.counters = {"requests": 0, "batches": 0, "occupancy_sum": 0}
@@ -186,7 +187,8 @@ class InferenceEngine:
         t0 = time.time()
         logger.info("compiling resident executable (batch %d, %s)...",
                     B, self.orig)
-        np.asarray(batched(jnp.zeros((B,) + self.orig + (3,), jnp.float32)))
+        np.asarray(
+            self._batched(jnp.zeros((B,) + self.orig + (3,), jnp.float32)))
         logger.info("compiled in %.1fs; serving", time.time() - t0)
 
         self._worker = threading.Thread(target=self._run, daemon=True)

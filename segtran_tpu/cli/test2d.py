@@ -189,21 +189,30 @@ def evaluate_checkpoint(model, variables, dataset, task, args, logger,
         x = (1 - gray_alpha) * image + gray_alpha * gray
         return (x - mean_a) / std_a
 
+    # variables are a jit ARGUMENT, not a closure: closed-over device arrays
+    # become HLO constants, and at eff-b4 scale the constant-laden program
+    # exceeds the axon relay's remote-compile request cap (HTTP 413)
     @jax.jit
-    def model_fn(image):
+    def _model_fn(variables, image):
         return model.apply(variables, _preproc(image), train=False)
+
+    def model_fn(image):
+        return _model_fn(variables, image)
 
     feat_budget = getattr(args, "save_features_img_count", 0)
     if feat_budget > 0:
         from .train2d import _da_feature
 
         @jax.jit
-        def feat_fn(image):
+        def _feat_fn(variables, image):
             """The reference's net.feature_maps[-1] on one direct forward
             (test_util2d.py:78-88)."""
             _, mstate = model.apply(variables, _preproc(image), train=False,
                                     mutable=["intermediates"])
             return _da_feature(mstate)
+
+        def feat_fn(image):
+            return _feat_fn(variables, image)
 
     all_dice = []
     all_vcdr_err = []

@@ -291,9 +291,15 @@ def main(argv=None):
                 return _sharded_fn(variables,
                                    jax.device_put(x, _vol_sharding))
         else:
+            # variables as jit argument, not closure: closed-over params
+            # become HLO constants and blow the axon relay's remote-compile
+            # request cap (HTTP 413) at flagship scale
             @jax.jit
-            def model_fn(x):
+            def _model_fn(variables, x):
                 return model.apply(variables, x, train=False)
+
+            def model_fn(x, _v=variables):
+                return _model_fn(_v, x)
 
         meters = AverageMeters()
         saved = []

@@ -81,6 +81,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--outfpn", dest="out_fpn_layers", default="1234")
     p.add_argument("--maxiter", type=int, default=10000)
     p.add_argument("--saveiter", type=int, default=500)
+    p.add_argument("--logiter", type=int, default=50,
+                   help="log running loss averages every N iters")
     p.add_argument("--bs", dest="batch_size", type=int, default=6)
     p.add_argument("--lr", type=float, default=-1)
     p.add_argument("--decay", type=float, default=-1)
@@ -1119,6 +1121,11 @@ def main(argv=None):
 
     batch_keys = (("image", "mask", "ds_idx") if ds_stats is not None
                   else ("image", "mask"))
+    logger.info(
+        "compiling the train step (first step; a COLD compile of the "
+        "flagship recipe takes up to ~11 min with the remat_blocks default "
+        "-- --norematblocks or --scanblocks compile much faster; warm "
+        "reruns of unchanged shapes hit the persistent .jax_cache)...")
     while iter_num < args.maxiter:
         it = with_source(batch_iterator(dataset, args.batch_size, epoch,
                                         seed=args.seed,
@@ -1132,6 +1139,9 @@ def main(argv=None):
                        if not k.startswith("_preview")}
             for k, v in metrics.items():
                 meters.update(k, float(v))
+            if iter_num == 1:
+                logger.info("first step done in %.1fs (compile + run)",
+                            time.time() - t0)
             if writer is not None:
                 for k, v in metrics.items():
                     writer.add_scalar(k, float(v), iter_num)
@@ -1154,7 +1164,7 @@ def main(argv=None):
                                 "clamp-count: %d", diag_max,
                                 float(metrics["attn_avg"]), diag_clamp)
                     diag_max, diag_clamp = 0.0, 0
-            if iter_num % 50 == 0:
+            if iter_num % args.logiter == 0:
                 logger.info("iter %d (%.2f it/s): %s", iter_num,
                             iter_num / (time.time() - t0),
                             meters.disp_str(("loss", "ce_loss", "dice_loss")))

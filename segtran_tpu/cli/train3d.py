@@ -413,6 +413,9 @@ def main(argv=None):
     batch_sharding = NamedSharding(mesh, P("data"))
     meters = AverageMeters()
     iter_num, epoch, t0 = 0, 0, time.time()
+    logger.info("compiling the train step (first step; cold compiles of "
+                "large recipes can take minutes -- warm reruns of unchanged "
+                "shapes hit the persistent .jax_cache)...")
     while iter_num < args.maxiter:
         it = batch_iterator(dataset, args.batch_size, epoch, seed=args.seed,
                             keys=("image", "label"))
@@ -421,6 +424,9 @@ def main(argv=None):
             iter_num += 1
             for k, v in metrics.items():
                 meters.update(k, float(v))
+            if iter_num == 1:
+                logger.info("first step done in %.1fs (compile + run)",
+                            time.time() - t0)
             if iter_num % 50 == 0:
                 logger.info("iter %d (%.2f it/s): %s", iter_num,
                             iter_num / (time.time() - t0),

@@ -89,12 +89,14 @@ def effective_receptive_field(model, variables, input_shape,
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (1,) + tuple(input_shape)) * 0.5
 
-    def probe(inp):
-        out = model.apply(variables, inp, train=False)
+    # variables as an explicit argument: closed-over params become HLO
+    # constants and can exceed the axon remote-compile request cap (413)
+    def probe(v, inp):
+        out = model.apply(v, inp, train=False)
         h, w = out.shape[1] // 2, out.shape[2] // 2
         return jnp.sum(out[0, h, w])
 
-    g = jax.grad(probe)(x)
+    g = jax.jit(jax.grad(probe, argnums=1))(variables, x)
     return np.abs(np.asarray(g[0])).mean(-1)
 
 
@@ -113,7 +115,7 @@ def layer_receptive_fields(model, variables, input_shape,
     x = jax.random.normal(jax.random.PRNGKey(0),
                           (1,) + tuple(input_shape)) * 0.5
 
-    def feat_list(inp):
+    def feat_list(inp, variables=variables):
         _, mstate = model.apply(variables, inp, train=False,
                                 mutable=["intermediates"])
         inter = mstate.get("intermediates", {})
@@ -147,10 +149,10 @@ def layer_receptive_fields(model, variables, input_shape,
     sel = list(range(len(names))) if layers is None else \
         [i for i in layers if 0 <= i < len(names)]
     for i in sel:
-        def probe(inp, i=i):
-            f = feat_list(inp)[i][1]
+        def probe(v, inp, i=i):
+            f = feat_list(inp, variables=v)[i][1]
             return jnp.sum(f[0, f.shape[1] // 2, f.shape[2] // 2])
-        g = jax.jit(jax.grad(probe))(x)
+        g = jax.jit(jax.grad(probe, argnums=1))(variables, x)
         out[names[i]] = np.abs(np.asarray(g[0], np.float32)).mean(-1)
     return out
 

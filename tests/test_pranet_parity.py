@@ -67,9 +67,12 @@ def test_res2net_backbone_parity():
     feats = model.apply({"params": params, "batch_stats": bstats}, xl)
     assert len(feats) == 5
     for i, (got, want) in enumerate(zip(feats, feats_ref)):
+        # activations reach ~3e2 magnitude through 4 res2net stages; oneDNN
+        # vs XLA conv reassociation leaves ~1e-3 relative noise on stray
+        # elements (observed 6e-4 on 1/8192 at the old 1e-4/2e-4)
         np.testing.assert_allclose(
             np.asarray(got).transpose(0, 3, 1, 2), want.numpy(),
-            rtol=1e-4, atol=2e-4, err_msg=f"pyramid level {i}")
+            rtol=1e-3, atol=2e-4, err_msg=f"pyramid level {i}")
 
 
 @pytest.mark.parametrize("num_classes", [1, 2])
