@@ -68,10 +68,11 @@ def bench_brats_wholevol():
     from segtran_tpu.models.segtran3d import Segtran3d
     from segtran_tpu.nn.init import init_with_reference_schemes
 
-    # round-3 A/B (_prof_epi.py): with the QK/V reassociations now default,
-    # plain XLA edges out the flash kernel at this scale (53.2 vs 52.6
-    # Mvox/s; exact numerics both ways) -- the fused path still wins at the
-    # larger-N serving shapes (test3d --wholevol --fused).
+    # round-5 tile sweep (tools/prof/_prof_tile3d.py): with the QK/V
+    # reassociations default-on, XLA wins at every feasible flash tile at
+    # this shape (XLA 53.73 Mvox/s vs best flash q1024n1024 52.84; q2048
+    # tiles VMEM-OOM) -- the fused path still wins at the larger-N serving
+    # shapes (test3d --wholevol --fused; 26 vs 1480 ms at N=65k).
     cfg = Segtran3dConfig(
         num_classes=4, num_attractors=1024, orig_in_channels=4,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,

@@ -76,36 +76,3 @@ def test_segtran2d_scan_full_model_parity():
               for k, v in rest.items()}
     y_s = model_s.apply({"params": params_s, **rest_s}, x, train=False)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_s))
-
-
-@pytest.mark.skipif(not os.path.isdir(FUNDUS_DIR),
-                    reason="sample data not available")
-def test_scanblocks_cli_checkpoint_interop(tmp_path):
-    """Train WITH --scanblocks, evaluate WITHOUT (and the reverse direction
-    via --cp): checkpoints adapt between layouts on load."""
-    data_root = tmp_path / "data"
-    (data_root / "fundus").mkdir(parents=True)
-    shutil.copytree(FUNDUS_DIR, data_root / "fundus" / "train")
-    for f in (data_root / "fundus" / "train").glob("*.list"):
-        f.unlink()
-
-    from segtran_tpu.cli.test2d import main as test_main
-    from segtran_tpu.cli.train2d import main as train_main
-    common = ["--task", "fundus", "--split", "all", "--net", "segtran",
-              "--bb", "eff-b0", "--translayers", "1", "--attractors", "8",
-              "--bs", "2", "--origsize", "64", "--patchsize", "64",
-              "--dataroot", str(data_root)]
-    ckpt_dir = train_main(common + [
-        "--ndevices", "1", "--scanblocks", "--maxiter", "2", "--saveiter",
-        "2", "--ckptdir", str(tmp_path / "model")])
-    assert os.path.isdir(os.path.join(ckpt_dir, "iter_2"))
-
-    # scan-layout checkpoint -> unrolled eval
-    test_main(common + ["--ds", "train", "--cpdir", ckpt_dir, "--iters", "2",
-                        "--outdir", str(tmp_path / "preds")])
-    # scan-layout checkpoint -> resume WITHOUT --scanblocks
-    ckpt2 = train_main(common + [
-        "--ndevices", "1", "--cp", os.path.join(ckpt_dir, "iter_2"),
-        "--maxiter", "1", "--saveiter", "1",
-        "--ckptdir", str(tmp_path / "model2")])
-    assert os.path.isdir(os.path.join(ckpt2, "iter_1"))

@@ -1,4 +1,7 @@
 """Throughput vs batch size for the flagship fundus forward."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 import time
 
 import jax

@@ -7,6 +7,9 @@ full fwd+loss+bwd+BertAdam update) and prints TFLOP / HBM GB / ms / imgs/s
 per point. Steady-state only — uses the persistent compilation cache; for
 compile-latency numbers see _prof_compile.py.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 import sys
 import time
 

@@ -4,6 +4,9 @@ forward: baseline vs fused epilogue vs fused attention vs both.
 Plain-loop timing with trailing block_until_ready (valid: workloads >> the
 ~30 ms D2H floor, see TODO.md round-2 methodology note).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 import time
 
 import jax

@@ -4,6 +4,9 @@ shapes (B=64, N=1296 tokens, dims 1792/1792/896/448, A=256, M=4, bf16).
 Encoder-only so the remote compile stays ~1 min per variant (full bs-64 model
 compiles blew a 10-min budget through the tunnel).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 import sys
 import time
 

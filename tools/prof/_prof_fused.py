@@ -1,4 +1,7 @@
 """Fused-eval MBConv backbone vs unfused, real chip."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 import time
 
 import jax

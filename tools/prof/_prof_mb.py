@@ -1,4 +1,7 @@
 """Per-block mbconv_front vs XLA chain, real chip, slope timing."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 import time
 import functools
 

@@ -7,6 +7,9 @@ compare against the XLA path.
 Plain-loop timing with trailing block_until_ready (valid: whole-volume
 forward >> the ~30 ms D2H floor, TODO.md round-2 methodology note).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 import os
 import sys
 import time
@@ -92,6 +95,12 @@ for name, tq, tn in settings:
     def fwd(variables, x, model=model):
         return model.apply(variables, x, train=False)
 
-    dt = timeit(fwd, variables, x)
+    try:
+        dt = timeit(fwd, variables, x)
+    except Exception as e:   # e.g. scoped-VMEM OOM at oversized tiles
+        print(f"{name:20s} FAILED {type(e).__name__}: {str(e)[:100]}",
+              flush=True)
+        jax.clear_caches()
+        continue
     print(f"{name:20s} {dt*1e3:8.2f} ms  {vox/dt/1e6:7.2f} Mvox/s", flush=True)
     jax.clear_caches()

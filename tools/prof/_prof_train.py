@@ -6,6 +6,9 @@ cost analysis (FLOPs / HBM bytes) + chained-step timing for
 and optionally a remat variant (arg: 'remat') that checkpoints each translayer
 to see whether trading FLOPs for saved-activation HBM wins on the v5e.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))  # repo root
 import sys
 import time
 
