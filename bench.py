@@ -136,7 +136,7 @@ def bench_fundus():
     }), flush=True)
 
 
-def bench_fundus_train():
+def bench_fundus_train(bs=TRAIN_BATCH, remat_blocks=True, suffix=""):
     from segtran_tpu.configs import Segtran2dConfig
     from segtran_tpu.models import Segtran2d
     from segtran_tpu.nn.init import init_with_reference_schemes
@@ -144,18 +144,19 @@ def bench_fundus_train():
                                            make_train_step,
                                            create_train_state)
 
-    # remat_blocks: per-MBConv jax.checkpoint (round-4 backward-HBM fix;
-    # train2d default). On-chip A/B (_prof_remat.py, bs6 grad): 169.7 GB /
-    # 179.4 ms -> 136.5 GB / 152.8 ms; exact numerics
-    # (test_remat_blocks_grad_parity).
+    # remat_blocks: per-MBConv jax.checkpoint (round-4 backward-HBM fix).
+    # train2d's default is now ADAPTIVE per the round-5 bs sweep
+    # (tools/prof/_prof_bs_train.py): ON below per-device batch 12 (here,
+    # the reference-comparable bs-6 line), OFF at the bs-24 throughput
+    # line where the small-batch conv blocking it works around is gone.
     cfg = Segtran2dConfig(
         backbone_type="eff-b4", num_classes=3, dtype=jnp.bfloat16,
-        remat_blocks=True,
+        remat_blocks=remat_blocks,
     ).derive(translayer_compress_ratios=(1.0, 1.0, 2.0, 2.0))
     model = Segtran2d(cfg)
-    x = jnp.zeros((TRAIN_BATCH, 288, 288, 3), jnp.float32)
+    x = jnp.zeros((bs, 288, 288, 3), jnp.float32)
     # one-hot fundus mask (disc/cup), as fundus_map_mask emits
-    mask = jnp.zeros((TRAIN_BATCH, 288, 288, 3), jnp.float32)
+    mask = jnp.zeros((bs, 288, 288, 3), jnp.float32)
     print(f"[bench] fundus train init... ({time.strftime('%H:%M:%S')})",
           file=sys.stderr, flush=True)
     params, rest = init_with_reference_schemes(
@@ -187,12 +188,15 @@ def bench_fundus_train():
     jax.block_until_ready(state.step)
     dt = (time.perf_counter() - t0) / ITERS
     steps_per_sec = 1.0 / dt
+    # vs_baseline normalizes by imgs/s so the bs-24 line stays comparable
+    # to the reference's bs-6 V100 estimate (1.7 steps/s * 6 imgs)
+    ref_imgs = REFERENCE_GPU_TRAIN_STEPS_PER_SEC * TRAIN_BATCH
     print(json.dumps({
-        "metric": "fundus_segtran2d_effb4_288_train_steps_per_sec_per_chip",
+        "metric": "fundus_segtran2d_effb4_288_train_steps_per_sec_per_chip"
+                  + suffix,
         "value": round(steps_per_sec, 2),
-        "unit": "steps/sec/chip (bs 6)",
-        "vs_baseline": round(steps_per_sec / REFERENCE_GPU_TRAIN_STEPS_PER_SEC,
-                             3),
+        "unit": f"steps/sec/chip (bs {bs})",
+        "vs_baseline": round(steps_per_sec * bs / ref_imgs, 3),
     }), flush=True)
 
 
@@ -201,6 +205,9 @@ def main():
     enable_compilation_cache()
     bench_brats_wholevol()
     bench_fundus_train()
+    # throughput-oriented training line: bs 24, remat off (the knee of the
+    # round-5 bs sweep -- 69 imgs/s vs 38 at the reference-comparable bs 6)
+    bench_fundus_train(bs=24, remat_blocks=False, suffix="_bs24")
     bench_fundus()
 
 
