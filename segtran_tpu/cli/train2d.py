@@ -761,6 +761,18 @@ def make_full_step(model, tx, task, args, aug_cfg, patch_size,
     return step
 
 
+def resolve_remat_blocks(batch_size, grad_accum, n_devices, tensor_parallel):
+    """Adaptive remat_blocks default (round-5 bs sweep,
+    tools/prof/_prof_bs_train.py): per-MBConv remat wins only while XLA's
+    small-batch conv spatial blocking dominates the backward (per-device
+    microbatch < 12: 34.3 -> 38.4 imgs/s at bs 6); at >= 12 the blocking
+    disappears and remat only adds recompute (61.3 -> 54.6 at bs 12) plus
+    an ~11-min cold compile. Returns (remat_blocks, per_device_microbatch)."""
+    dp = max(n_devices // max(tensor_parallel, 1), 1)
+    mb = max(batch_size // max(grad_accum, 1) // dp, 1)
+    return mb < 12, mb
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     from ..utils.cache import enable_compilation_cache
@@ -811,16 +823,9 @@ def main(argv=None):
     logger = setup_logging(ckpt_dir)
     logger.info("args: %s", vars(args))
     if getattr(args, "remat_blocks", None) is None:
-        # adaptive default (round-5 bs sweep, tools/prof/_prof_bs_train.py):
-        # per-MBConv remat wins only while XLA's small-batch conv spatial
-        # blocking dominates the backward (per-device microbatch < 12:
-        # 34.3 -> 38.4 imgs/s at bs 6); at >= 12 the blocking disappears
-        # and remat only adds recompute (61.3 -> 54.6 at bs 12) plus an
-        # ~11-min cold compile
         _nd = args.ndevices if args.ndevices > 0 else len(jax.devices())
-        _dp = max(_nd // max(args.tensor_parallel, 1), 1)
-        _mb = max(args.batch_size // max(args.grad_accum, 1) // _dp, 1)
-        args.remat_blocks = _mb < 12
+        args.remat_blocks, _mb = resolve_remat_blocks(
+            args.batch_size, args.grad_accum, _nd, args.tensor_parallel)
         logger.info("remat_blocks auto -> %s (per-device microbatch %d; "
                     "force with --rematblocks/--norematblocks)",
                     args.remat_blocks, _mb)

@@ -283,3 +283,19 @@ def test_train2d_gradaccum_guards(tmp_path):
     with pytest.raises(ValueError, match="data-parallel"):
         # bs 4 / accum 2 -> microbatch 2, not divisible by 4 data devices
         main(common + ["--bs", "4", "--gradaccum", "2", "--ndevices", "4"])
+
+
+def test_resolve_remat_blocks_boundary():
+    """Adaptive remat default: ON below per-device microbatch 12, OFF at/above
+    (round-5 bs sweep); grad-accum microbatching and dp sharding both count."""
+    from segtran_tpu.cli.train2d import resolve_remat_blocks
+    assert resolve_remat_blocks(6, 1, 1, 1) == (True, 6)
+    assert resolve_remat_blocks(11, 1, 1, 1) == (True, 11)
+    assert resolve_remat_blocks(12, 1, 1, 1) == (False, 12)
+    assert resolve_remat_blocks(24, 1, 1, 1) == (False, 24)
+    # dp sharding: global 24 over 4 chips -> per-device 6 -> remat on
+    assert resolve_remat_blocks(24, 1, 4, 1) == (True, 6)
+    # tp shrinks the dp axis: 8 devices tp=2 -> dp=4 -> per-device 12 -> off
+    assert resolve_remat_blocks(48, 1, 8, 2) == (False, 12)
+    # grad accumulation microbatches: 24/4 = 6 per microbatch -> remat on
+    assert resolve_remat_blocks(24, 4, 1, 1) == (True, 6)
