@@ -144,6 +144,9 @@ def _build_model_fn(args):
     variables = {"params": params}
     if bstats:
         variables["batch_stats"] = bstats
+    # one upload: host-numpy checkpoint leaves as a jit argument would
+    # re-transfer per image
+    variables = jax.device_put(variables)
     mean = jnp.asarray((0.5, 0.5, 0.5))
     std = jnp.asarray((0.25, 0.25, 0.25))
 

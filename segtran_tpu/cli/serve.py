@@ -155,6 +155,9 @@ class InferenceEngine:
         variables = {"params": params}
         if bstats:
             variables["batch_stats"] = bstats
+        # one upload: checkpoint leaves are host numpy (merge_params), and a
+        # numpy jit ARGUMENT would re-transfer through the tunnel every call
+        variables = jax.device_put(variables)
 
         mean, std = load_stats(args, "train")
         mean_a, std_a = jnp.asarray(mean), jnp.asarray(std)

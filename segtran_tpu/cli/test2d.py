@@ -437,6 +437,9 @@ def main(argv=None):
         variables = {"params": params_i}
         if bstats:
             variables["batch_stats"] = bstats
+        # one upload: checkpoint leaves are host numpy (merge_params), and a
+        # numpy jit ARGUMENT would re-transfer per sliding-window chunk
+        variables = jax.device_put(variables)
         if getattr(args, "vis_mode", None) == "rf":
             from PIL import Image
             from ..tools.analysis import layer_receptive_fields

@@ -280,12 +280,17 @@ def main(argv=None):
         if args.spatial_shard and len(jax.devices()) > 1:
             # GSPMD whole-volume forward sharded H-over-all-chips
             # (parallel/spatial.py; beyond the reference's per-GPU windows)
+            from jax.sharding import NamedSharding, PartitionSpec
             from ..parallel.mesh import make_mesh
             from ..parallel.spatial import sharded_whole_volume_apply
             n = len(jax.devices())
             mesh = make_mesh(n, axes=("data", "model"), shape=(1, n))
             _sharded_fn, _vol_sharding = sharded_whole_volume_apply(
                 model, mesh)
+            # replicate the host-numpy checkpoint leaves across the mesh
+            # ONCE; as plain jit arguments they would re-transfer per volume
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, PartitionSpec()))
 
             def model_fn(x):
                 return _sharded_fn(variables,
@@ -293,7 +298,11 @@ def main(argv=None):
         else:
             # variables as jit argument, not closure: closed-over params
             # become HLO constants and blow the axon relay's remote-compile
-            # request cap (HTTP 413) at flagship scale
+            # request cap (HTTP 413) at flagship scale. Upload the
+            # host-numpy checkpoint leaves ONCE (a numpy argument would
+            # re-transfer per volume).
+            variables = jax.device_put(variables)
+
             @jax.jit
             def _model_fn(variables, x):
                 return model.apply(variables, x, train=False)

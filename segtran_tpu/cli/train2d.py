@@ -81,8 +81,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--outfpn", dest="out_fpn_layers", default="1234")
     p.add_argument("--maxiter", type=int, default=10000)
     p.add_argument("--saveiter", type=int, default=500)
-    p.add_argument("--logiter", type=int, default=50,
-                   help="log running loss averages every N iters")
+    p.add_argument("--logiter", type=lambda v: max(int(v), 1), default=50,
+                   help="log running loss averages every N iters (min 1)")
     p.add_argument("--bs", dest="batch_size", type=int, default=6)
     p.add_argument("--lr", type=float, default=-1)
     p.add_argument("--decay", type=float, default=-1)
@@ -782,12 +782,12 @@ def main(argv=None):
     # replaces reference dist.init_process_group, train2d.py:796-801)
     from ..parallel.multihost import init_multihost
     init_multihost(verbose=True)
-    if args.tensor_parallel > 1:
+    # resolved once: a jax.devices() call is a potential pool-grant wait
+    n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
+    if args.tensor_parallel > 1 and n_dev % args.tensor_parallel:
         # fail before the multi-minute model init
-        _n = args.ndevices if args.ndevices > 0 else len(jax.devices())
-        if _n % args.tensor_parallel:
-            raise ValueError(f"--tp {args.tensor_parallel} must divide "
-                             f"device count {_n}")
+        raise ValueError(f"--tp {args.tensor_parallel} must divide "
+                         f"device count {n_dev}")
     if args.grad_accum > 1 and args.batch_size % args.grad_accum:
         raise ValueError(f"--gradaccum {args.grad_accum} must divide "
                          f"--bs {args.batch_size}")
@@ -802,8 +802,7 @@ def main(argv=None):
         # each microbatch is itself sharded over the data axis; a microbatch
         # not divisible by it forces GSPMD resharding/replication, erasing
         # the memory benefit (or failing at trace time)
-        _nd = args.ndevices if args.ndevices > 0 else len(jax.devices())
-        _dp = _nd // max(args.tensor_parallel, 1)
+        _dp = n_dev // max(args.tensor_parallel, 1)
         if (args.batch_size // args.grad_accum) % _dp:
             raise ValueError(
                 f"microbatch size {args.batch_size // args.grad_accum} "
@@ -823,9 +822,8 @@ def main(argv=None):
     logger = setup_logging(ckpt_dir)
     logger.info("args: %s", vars(args))
     if getattr(args, "remat_blocks", None) is None:
-        _nd = args.ndevices if args.ndevices > 0 else len(jax.devices())
         args.remat_blocks, _mb = resolve_remat_blocks(
-            args.batch_size, args.grad_accum, _nd, args.tensor_parallel)
+            args.batch_size, args.grad_accum, n_dev, args.tensor_parallel)
         logger.info("remat_blocks auto -> %s (per-device microbatch %d; "
                     "force with --rematblocks/--norematblocks)",
                     args.remat_blocks, _mb)
@@ -1077,7 +1075,6 @@ def main(argv=None):
                          jnp.asarray(bw))
 
     # ---- mesh & step ----
-    n_dev = args.ndevices if args.ndevices > 0 else len(jax.devices())
     step_fn = make_full_step(model, tx, task, args, aug_cfg,
                              tuple(task["patch_size"]),
                              disc_model=disc_model, recon_model=recon_model,

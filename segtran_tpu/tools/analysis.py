@@ -137,13 +137,23 @@ def layer_receptive_fields(model, variables, input_shape,
                 feats.append((k[:-len("_vfeat")], f))
         return feats
 
-    names = [n for n, _ in feat_list(x)]
+    # name discovery via abstract evaluation -- no device work (eager
+    # per-op dispatch through the axon tunnel is round-trip bound); the
+    # names come out through a trace-time side channel because eval_shape
+    # outputs must be array-like
+    names: list = []
+
+    def _discover(v, inp):
+        names.extend(n for n, _ in feat_list(inp, variables=v))
+        return jnp.zeros(())
+
+    jax.eval_shape(_discover, variables, x)
     out: Dict[str, np.ndarray] = {}
     if not names:
-        def probe_out(inp):
-            o = model.apply(variables, inp, train=False)
+        def probe_out(v, inp):
+            o = model.apply(v, inp, train=False)
             return jnp.sum(o[0, o.shape[1] // 2, o.shape[2] // 2])
-        g = jax.grad(probe_out)(x)
+        g = jax.jit(jax.grad(probe_out, argnums=1))(variables, x)
         out["output"] = np.abs(np.asarray(g[0], np.float32)).mean(-1)
         return out
     sel = list(range(len(names))) if layers is None else \

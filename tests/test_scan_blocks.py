@@ -1,16 +1,10 @@
 """scan-over-MBConv-repeats (cfg.scan_blocks): exact eval parity with the
 unrolled backbone, param-layout (un)stack shims, and checkpoint-layout
 adaptation across the train/eval CLIs."""
-import os
-import shutil
-
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
-
-FUNDUS_DIR = "/root/reference/data/fundus/train"
 
 
 def test_efficientnet_scan_exact_parity():

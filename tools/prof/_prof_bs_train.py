@@ -69,7 +69,9 @@ def main():
             try:
                 comp = step.lower(state0, batch).compile()
                 tf, gb = costs(comp)
-                dt = chain_time(step, state0, batch)
+                # time the AOT executable itself -- calling the jit wrapper
+                # would trace+compile the same graph a second time
+                dt = chain_time(comp, state0, batch)
             except Exception as e:  # OOM at large bs is a datapoint too
                 print(f"remat={int(remat)} bs={bs:3d}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
