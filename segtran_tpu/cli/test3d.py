@@ -264,6 +264,27 @@ def main(argv=None):
                     "(%.2f GB accessed)", count_params(params) / 1e6,
                     fl.get("flops", 0.0) / 1e9, fl.get("bytes", 0.0) / 1e9)
 
+    # jitted forwards built ONCE, outside the checkpoint sweep: a fresh
+    # jax.jit per iter would retrace every checkpoint. Params ride as jit
+    # arguments (a closure would bake them in as HLO constants -> axon
+    # remote-compile HTTP 413 at flagship scale) and are device_put once
+    # per checkpoint (numpy arguments would re-transfer per volume).
+    use_shard = args.spatial_shard and len(jax.devices()) > 1
+    if use_shard:
+        # GSPMD whole-volume forward sharded H-over-all-chips
+        # (parallel/spatial.py; beyond the reference's per-GPU windows)
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import make_mesh
+        from ..parallel.spatial import sharded_whole_volume_apply
+        n = len(jax.devices())
+        mesh = make_mesh(n, axes=("data", "model"), shape=(1, n))
+        _sharded_fn, _vol_sharding = sharded_whole_volume_apply(model, mesh)
+        _rep_sharding = NamedSharding(mesh, PartitionSpec())
+    else:
+        @jax.jit
+        def _model_fn(variables, x):
+            return model.apply(variables, x, train=False)
+
     results = {}
     for it in parse_iters(args.iters):
         if it is not None:
@@ -277,35 +298,13 @@ def main(argv=None):
             params_i, bstats = params, rest.get("batch_stats", {})
         variables = {"params": params_i, "batch_stats": bstats}
 
-        if args.spatial_shard and len(jax.devices()) > 1:
-            # GSPMD whole-volume forward sharded H-over-all-chips
-            # (parallel/spatial.py; beyond the reference's per-GPU windows)
-            from jax.sharding import NamedSharding, PartitionSpec
-            from ..parallel.mesh import make_mesh
-            from ..parallel.spatial import sharded_whole_volume_apply
-            n = len(jax.devices())
-            mesh = make_mesh(n, axes=("data", "model"), shape=(1, n))
-            _sharded_fn, _vol_sharding = sharded_whole_volume_apply(
-                model, mesh)
-            # replicate the host-numpy checkpoint leaves across the mesh
-            # ONCE; as plain jit arguments they would re-transfer per volume
-            variables = jax.device_put(
-                variables, NamedSharding(mesh, PartitionSpec()))
+        if use_shard:
+            variables = jax.device_put(variables, _rep_sharding)
 
-            def model_fn(x):
-                return _sharded_fn(variables,
-                                   jax.device_put(x, _vol_sharding))
+            def model_fn(x, _v=variables):
+                return _sharded_fn(_v, jax.device_put(x, _vol_sharding))
         else:
-            # variables as jit argument, not closure: closed-over params
-            # become HLO constants and blow the axon relay's remote-compile
-            # request cap (HTTP 413) at flagship scale. Upload the
-            # host-numpy checkpoint leaves ONCE (a numpy argument would
-            # re-transfer per volume).
             variables = jax.device_put(variables)
-
-            @jax.jit
-            def _model_fn(variables, x):
-                return model.apply(variables, x, train=False)
 
             def model_fn(x, _v=variables):
                 return _model_fn(_v, x)
